@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated test tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All readers are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning reach the file source. The only special case is `events`:
+  * its `ts` column is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+  * to read unless `spark.sql.legacy.parquet.nanosAsLong=true`; we then
+  * normalize ns→µs with integer division (exact — double division would
+  * lose precision above 2^53).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events` with `ts` normalized to a µs TimestampType — identical to what
+    * DuckDB produces reading the same ns-precision file (SURVEY §1.2).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** SURVEY rule R2: aggregate monetary/quantity doubles as exact decimals so
+    * sums are order-independent and engine-exact.
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+}
