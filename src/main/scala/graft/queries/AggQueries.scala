@@ -7,10 +7,15 @@ import graft.{Q, Tables}
 /** SURVEY §2.2 D — aggregation operators.
   *
   * Discipline (SURVEY rules): R1 total ORDER BY with explicit null ordering,
-  * R2 exact decimal sums for monetary doubles, R3 defensive casts of final
-  * decimal widths (Spark widens sums to (28,2), DuckDB to (38,2) — we cast
-  * both sides to the same width), averages as `CAST(exact_sum AS DOUBLE) /
-  * count` so IEEE division of identical inputs is bit-identical.
+  * R2 exact decimal sums for monetary doubles (order-independent,
+  * engine-exact), averages as `CAST(exact_sum AS DOUBLE) / count`.
+  *
+  * Output-type rule (supersedes SURVEY R3, per round-1 verdict): **no DECIMAL
+  * column ever appears in a final output schema** — the driver's hash is
+  * representation-sensitive for DECIMAL (Decimal vs float64 at
+  * materialization), so every exact decimal aggregate is `CAST(... AS
+  * DOUBLE)` at the very end on BOTH the Spark and oracle sides. All
+  * magnitudes in this data are ≪ 2^53, so the cast is value-exact.
   */
 object AggQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -25,24 +30,24 @@ object AggQueries {
         l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * oneMinusDisc).cast("decimal(38,4)").as("sum_disc_price"),
-            sum(dec(col("l_extendedprice")) * oneMinusDisc * onePlusTax).cast("decimal(38,6)").as("sum_charge"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * oneMinusDisc).cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
             count(lit(1)).as("count_order"))
-          .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
-          .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .withColumn("avg_price", col("sum_base_price") / col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
           count(*) AS count_order,
-          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty,
-          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_price
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -69,13 +74,13 @@ object AggQueries {
         val l = Tables.lineitem(s, d)
         l.rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
             count(lit(1)).as("n_rows"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -87,13 +92,13 @@ object AggQueries {
         val l = Tables.lineitem(s, d)
         l.cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
             count(lit(1)).as("n_rows"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
       },
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -107,7 +112,7 @@ object AggQueries {
           SELECT l_returnflag, l_linestatus,
                  CAST(grouping(l_returnflag) AS INT) AS g_flag,
                  CAST(grouping(l_linestatus) AS INT) AS g_status,
-                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                  count(*) AS n_rows
           FROM lineitem
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -118,7 +123,7 @@ object AggQueries {
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -135,40 +140,42 @@ object AggQueries {
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"),
             count(lit(1)).as("n_rows"),
-            sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
             sum(q9 * q9).cast("double").as("sum_qty_sq"))
           .withColumn("nd", col("n_rows").cast("double"))
           .withColumn(
             "stddev_qty",
-            sqrt((col("nd") * col("sum_qty_sq") - col("sum_qty").cast("double") * col("sum_qty").cast("double"))
+            sqrt((col("nd") * col("sum_qty_sq") - col("sum_qty") * col("sum_qty"))
               / (col("nd") * (col("nd") - lit(1.0)))))
           .drop("nd", "sum_qty_sq")
           .orderBy(col("l_returnflag"))
       },
       oracle = Some("""
         SELECT l_returnflag, min_qty, max_qty, n_rows, sum_qty,
-               sqrt((nd * sum_qty_sq - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE)) / (nd * (nd - 1.0))) AS stddev_qty
+               sqrt((nd * sum_qty_sq - sum_qty * sum_qty) / (nd * (nd - 1.0))) AS stddev_qty
         FROM (
           SELECT l_returnflag,
                  min(l_quantity) AS min_qty,
                  max(l_quantity) AS max_qty,
                  count(*) AS n_rows,
-                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                  CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty_sq,
                  CAST(count(*) AS DOUBLE) AS nd
           FROM lineitem GROUP BY l_returnflag) t
         ORDER BY l_returnflag""")),
 
+    // Exact percentile, scale-safe form (round-1 verdict item 10): instead of
+    // `percentile()` (ObjectHashAggregate buffering a per-group value→count
+    // map — OOM-prone for near-unique continuous columns at 100 TB), compute
+    // via sort-based windows: row_number + count over each group, then pick
+    // and linearly interpolate the two boundary rows. Shuffles + sorts but
+    // never buffers a group in memory; identical interpolation formula to
+    // Spark `percentile` / DuckDB `quantile_cont` (lo + (hi-lo)*frac).
     Q(
       "agg_percentile",
       (s, d) => {
-        val l = Tables.lineitem(s, d)
-        l.groupBy(col("l_returnflag"))
-          .agg(
-            expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-            expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
-          .orderBy(col("l_returnflag"))
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(AggQueries.percentileSql)
       },
       oracle = Some("""
         SELECT l_returnflag,
@@ -195,7 +202,8 @@ object AggQueries {
         ORDER BY o_custkey""")),
 
     // HLL++ sketch — engine-specific, never oracle-compared (SURVEY §5.2(5));
-    // unit-tested against exact distinct within 5% relative error instead.
+    // unit-tested against exact distinct within 5% relative error instead
+    // (see ApproxToleranceSpec).
     Q(
       "agg_approx_distinct",
       (s, d) => {
@@ -204,5 +212,59 @@ object AggQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       },
-      oracle = None))
+      oracle = None),
+
+    // Canary pair (round-1 verdict item 1): the same one-row aggregate
+    // emitted once as DECIMAL(38,2) and once as DOUBLE, to pin the driver
+    // hasher's DECIMAL sensitivity in CORRECTNESS_r02 and beyond. If
+    // canary_decimal_out fails while canary_double_out passes, the
+    // "no DECIMAL in output schemas" rule is confirmed load-bearing.
+    Q(
+      "canary_decimal_out",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("v")),
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+        FROM lineitem""")),
+
+    Q(
+      "canary_double_out",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("v")),
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM lineitem""")))
+
+  /** Sort-based exact percentile-cont over lineitem, grouped by returnflag.
+    * pos = 1 + (n-1)*p over the sorted column; result =
+    * x[floor(pos)] + (x[ceil(pos)] - x[floor(pos)]) * (pos - floor(pos)) —
+    * the same formula `quantile_cont` uses, so IEEE results are identical.
+    */
+  val percentileSql: String = {
+    def one(colName: String, p: String, out: String) = s"""
+      (SELECT l_returnflag,
+              max(CASE WHEN rn = lo THEN x END)
+                + (max(CASE WHEN rn = lo + 1 THEN x END) - max(CASE WHEN rn = lo THEN x END))
+                  * frac AS interp,
+              max(CASE WHEN rn = lo THEN x END) AS exact_lo,
+              max(frac) AS fr
+       FROM (SELECT l_returnflag, x, rn,
+                    CAST(floor(1 + (n - 1) * $p) AS BIGINT) AS lo,
+                    1 + (n - 1) * $p - floor(1 + (n - 1) * $p) AS frac
+             FROM (SELECT l_returnflag, $colName AS x,
+                          row_number() OVER (PARTITION BY l_returnflag ORDER BY $colName) AS rn,
+                          count(*) OVER (PARTITION BY l_returnflag) AS n
+                   FROM lineitem) b) c
+       WHERE rn = lo OR rn = lo + 1
+       GROUP BY l_returnflag, frac) $out"""
+    s"""
+      SELECT q50.l_returnflag,
+             CASE WHEN q50.fr = 0 THEN q50.exact_lo ELSE q50.interp END AS p50_qty,
+             CASE WHEN q90.fr = 0 THEN q90.exact_lo ELSE q90.interp END AS p90_qty,
+             CASE WHEN p50.fr = 0 THEN p50.exact_lo ELSE p50.interp END AS p50_price
+      FROM ${one("l_quantity", "0.5", "q50")}
+      JOIN ${one("l_quantity", "0.9", "q90")} ON q50.l_returnflag = q90.l_returnflag
+      JOIN ${one("l_extendedprice", "0.5", "p50")} ON q50.l_returnflag = p50.l_returnflag
+      ORDER BY q50.l_returnflag"""
+  }
 }

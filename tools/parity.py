@@ -17,19 +17,15 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v  # exact compare; NaN handled in eq
-    return v
-
-
 def eq(a, b):
+    """Driver-strict compare: the driver's hash is representation-sensitive
+    (round-1 lesson: Decimal('38.00') == 38.0 under python ==, but they hash
+    differently). Compare (type_name, str(value)) so local green == driver
+    green."""
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
-    # Decimal vs Decimal, int vs int, str, datetime: exact
-    return a == b
+    return (type(a).__name__, str(a)) == (type(b).__name__, str(b))
 
 
 def main():
