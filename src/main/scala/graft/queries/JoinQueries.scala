@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** SURVEY §2.2 C — join operators.
+  *
+  * Scale posture per join: dims (`region`/`nation`/`supplier`) are broadcast
+  * explicitly; fact-to-fact joins shuffle on their equi keys (sort-merge),
+  * which is the plan that survives a 100× scale-up — AQE handles skew
+  * splitting at runtime. The theta/band join keeps an equi key so it plans
+  * as SMJ + post-filter, never a nested-loop over the fact tables. The
+  * as-of join is the windowed emulation (union + running max), which is a
+  * single shuffle by user — the canonical distributed as-of plan.
+  */
+object JoinQueries {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def revenue =
+    sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)"))
+      .cast("double")
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "join_broadcast_inner",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "inner")
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey""")),
+
+    Q(
+      "join_shuffle_inner",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        // hint("merge") pins the fact-to-fact sort-merge path (what a
+        // 100 TB orders⋈lineitem must do) even where AQE would broadcast.
+        o.join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"), "inner")
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(count(lit(1)).as("n_items"), revenue.as("rev"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderdate, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS rev
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY o_orderkey""")),
+
+    Q(
+      "join_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    Q(
+      "join_full_outer",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_nationkey") < 15)
+          .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+        val supp = Tables.supplier(s, d).filter(col("s_nationkey") >= 10)
+          .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, cust("nk") === supp("nk"), "full")
+          .select(
+            coalesce(cust("nk"), supp("nk")).as("nk"),
+            col("n_cust"), col("n_supp"))
+          .orderBy(col("nk"))
+      },
+      oracle = Some("""
+        SELECT coalesce(a.nk, b.nk) AS nk, n_cust, n_supp
+        FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_nationkey < 15 GROUP BY 1) a
+        FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) b
+          ON a.nk = b.nk
+        ORDER BY nk""")),
+
+    Q(
+      "join_left_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // Anti against urgent orders only, so the result is non-empty at every
+    // sf (plain customer-anti-orders is 0 rows — weak evidence).
+    Q(
+      "join_left_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // Cartesian of the two smallest dims (5 × 25 rows) — bounded by design;
+    // BroadcastNestedLoopJoin. Never cross-join facts.
+    Q(
+      "join_cross",
+      (s, d) => {
+        val r = Tables.region(s, d)
+        val n = Tables.nation(s, d)
+        r.crossJoin(n)
+          .select(col("r_name"), col("n_name"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    Q(
+      "join_theta_range",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        l.join(
+            o,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"),
+            "inner")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), revenue.as("rev"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS rev
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // As-of: last signup at-or-before each purchase, per user. Windowed
+    // emulation (running max of signup ts) — identical formula on both
+    // engines, single shuffle by user_id; distributed-safe because each
+    // user's history sorts independently.
+    Q(
+      "join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn(
+            "last_signup_ts",
+            max(when(col("event_type") === "signup", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("last_signup_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some("""
+        SELECT user_id, event_id, ts, last_signup_ts FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 max(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+          FROM events WHERE event_type IN ('signup', 'purchase')) t
+        WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id""")),
+
+    // TPC-H Q5 shape: 5-way join; dims broadcast, facts sort-merge on keys.
+    Q(
+      "join_multiway_q5",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA"
+            && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("n_name"))
+          .agg(revenue.as("rev"))
+          .orderBy(col("rev").desc, col("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS rev
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY rev DESC, n_name""")))
+}
