@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** SURVEY §2.2 E — window functions.
+  *
+  * Every window partitions by a key (customer) so WindowExec parallelizes
+  * across the shuffle; the only global window (`win_running_total`) runs
+  * over a pre-aggregated per-day frame (≤ a few thousand rows at any sf),
+  * never over raw fact rows — the pattern that survives 100 TB.
+  * Ordering keys always end in a unique column (R1 determinism).
+  */
+object WindowQueries {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            row_number().over(w).as("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, rn""")),
+
+    Q(
+      "win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lag(o_orderkey, 1)  OVER w AS prev_order,
+               lead(o_orderkey, 1) OVER w AS next_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    Q(
+      "win_frame_rows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("moving_sum"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // Value-based frame: how many of my orders are within $1000 below this
+    // one. Spelled in SQL on both sides (the DataFrame rangeBetween API
+    // takes Long offsets only; the double-typed RANGE frame needs SQL).
+    Q(
+      "win_frame_range",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band
+          FROM orders
+          ORDER BY o_custkey, o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")),
+
+    Q(
+      "win_topn_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn""")),
+
+    // Cumulative daily revenue: aggregate to per-day rows first (bounded),
+    // then an unbounded-preceding running sum over the small frame.
+    Q(
+      "win_running_total",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("day_rev"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .select(
+            col("day"),
+            col("day_rev").cast("double").as("day_rev"),
+            sum(col("day_rev")).over(w).cast("double").as("cum_rev"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        SELECT day,
+               CAST(day_rev AS DOUBLE) AS day_rev,
+               CAST(sum(day_rev) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+        FROM (
+          SELECT o_orderdate AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+          FROM orders GROUP BY o_orderdate) t
+        ORDER BY day""")))
+}
