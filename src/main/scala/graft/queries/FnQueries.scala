@@ -225,7 +225,9 @@ object FnQueries {
             col("c_custkey"),
             element_at(col("m"), "seg").as("seg_val"),
             element_at(col("m"), "name").as("name_val"),
-            element_at(col("m"), "missing").as("absent_val"),
+            // try_element_at: NULL-on-missing-key regardless of
+            // spark.sql.ansi.enabled (plain element_at throws under ANSI).
+            try_element_at(col("m"), lit("missing")).as("absent_val"),
             size(map_keys(col("m"))).cast("bigint").as("n_keys"))
           .orderBy(col("c_custkey"))
       },

@@ -142,8 +142,12 @@ object JoinQueries {
       (s, d) => {
         val l = Tables.lineitem(s, d)
         val o = Tables.orders(s, d)
+        // hint("merge") pins the fact-to-fact SMJ-on-equi-key + range
+        // post-filter shape (round-2 verdict #3: unpinned, Catalyst's size
+        // estimate broadcast the 150k-row orders side at sf0.1 — right for
+        // that size, not the plan a 100 TB fact⋈fact must run).
         l.join(
-            o,
+            o.hint("merge"),
             col("l_orderkey") === col("o_orderkey") &&
               col("l_shipdate") >= col("o_orderdate") &&
               col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"),
@@ -192,6 +196,10 @@ object JoinQueries {
         ORDER BY user_id, event_id""")),
 
     // TPC-H Q5 shape: 5-way join; dims broadcast, facts sort-merge on keys.
+    // The two fact joins carry hint("merge") (round-2 verdict #2: unpinned,
+    // Catalyst broadcast the pruned 600k-row lineitem side at sf0.1 — a
+    // fact-sized hash relation on every executor, 2.9× the baseline and not
+    // the plan that survives 100 TB).
     Q(
       "join_multiway_q5",
       (s, d) => {
@@ -201,8 +209,8 @@ object JoinQueries {
         val sup = Tables.supplier(s, d)
         val n = Tables.nation(s, d)
         val r = Tables.region(s, d)
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("o_orderkey") === col("l_orderkey"))
+        c.join(o.hint("merge"), col("c_custkey") === col("o_custkey"))
+          .join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(sup),
             col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -12,12 +12,13 @@ object SubqQueries {
     Q(
       "subq_scalar_corr",
       (s, d) => {
-        Tables.customer(s, d).createOrReplaceTempView("customer")
-        Tables.orders(s, d).createOrReplaceTempView("orders")
+        // query-unique view names: shared-session safe (round-2 verdict #6)
+        Tables.customer(s, d).createOrReplaceTempView("customer_ssc")
+        Tables.orders(s, d).createOrReplaceTempView("orders_ssc")
         s.sql("""
           SELECT c_custkey, c_name,
-                 (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
-          FROM customer
+                 (SELECT count(*) FROM orders_ssc WHERE o_custkey = c_custkey) AS n_orders
+          FROM customer_ssc
           ORDER BY c_custkey""")
       },
       oracle = Some("""
@@ -29,12 +30,12 @@ object SubqQueries {
     Q(
       "subq_in_uncorr",
       (s, d) => {
-        Tables.customer(s, d).createOrReplaceTempView("customer")
-        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer_siu")
+        Tables.orders(s, d).createOrReplaceTempView("orders_siu")
         s.sql("""
           SELECT o_orderkey, o_totalprice
-          FROM orders
-          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+          FROM orders_siu
+          WHERE o_custkey IN (SELECT c_custkey FROM customer_siu WHERE c_acctbal > 8000)
           ORDER BY o_orderkey""")
       },
       oracle = Some("""

@@ -84,12 +84,13 @@ object WindowQueries {
     Q(
       "win_frame_range",
       (s, d) => {
-        Tables.orders(s, d).createOrReplaceTempView("orders")
+        // query-unique view name: shared-session safe (round-2 verdict #6)
+        Tables.orders(s, d).createOrReplaceTempView("orders_wfr")
         s.sql("""
           SELECT o_custkey, o_orderkey, o_totalprice,
                  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band
-          FROM orders
+          FROM orders_wfr
           ORDER BY o_custkey, o_orderkey""")
       },
       oracle = Some("""
