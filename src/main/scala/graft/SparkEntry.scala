@@ -12,8 +12,9 @@ import graft.queries._
 object SparkEntry {
   /** Full registry, one Seq per SURVEY §2.2 category. */
   def all: Seq[Q] =
-    AggQueries.defs ++ JoinQueries.defs ++ SubqQueries.defs ++
-      WindowQueries.defs ++ FnQueries.defs
+    ScanQueries.defs ++ AggQueries.defs ++ JoinQueries.defs ++
+      SubqQueries.defs ++ WindowQueries.defs ++ FnQueries.defs ++
+      LlmQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+/** MinHash signatures for set-similarity sketching (SURVEY §2.2-H, last row:
+  * "near-dup MinHash/LSH at scale").
+  *
+  * The 100 TB design constraint: near-duplicate detection must NEVER
+  * materialize the O(n²) pair space. The sketch path is
+  *
+  *   tokens --xxhash64--> 32-bit ids --MinHashAgg--> k-slot signature
+  *          --band slicing--> (band, bandHash) keys --groupBy--> buckets
+  *          --within-bucket pairs--> candidates --exact verify--> pairs
+  *
+  * so the only shuffles are a `groupBy(doc)` (signature build) and a
+  * `groupBy(band, bandHash)` (LSH bucketing), both linear in corpus size.
+  * Candidate verification touches only same-bucket pairs, which for k=128,
+  * b=32, r=4 means P[pair bucketed] = 1-(1-j⁴)³² — ≈5e-8 at j=0.2 noise
+  * (collisions effectively never) and ≈1-6e-8 at j=0.8 (true near-dups
+  * effectively always).
+  *
+  * All hash coefficients derive from a fixed seed (SplitMix64) so results
+  * are deterministic across runs, sessions, and cluster sizes.
+  *
+  * Reference capability: the reference engine ships no sketch operators;
+  * this is part of the LLM-data-pipeline surface required by the brief
+  * (BASELINE.json north star), designed Spark-first as an
+  * `Aggregator` + plain DataFrame banding (SURVEY §4.3: Aggregator via
+  * `functions.udaf` is the sanctioned custom-agg extension point).
+  */
+object MinHash {
+  /** k independent hash slots; 32 bands × 4 rows (S-curve threshold ≈
+    * (1/b)^(1/r) = 0.42, steep around the τ=0.8 operating point).
+    */
+  val NumHashes = 128
+  val NumBands  = 32
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Smallest prime > 2^32: the universal-hash modulus over the 32-bit
+    * token-id domain.
+    */
+  val Prime = 4294967311L
+
+  /** Deterministic (a, b) coefficients: a in [1, 2^31) keeps a*x < 2^63
+    * for x < 2^32 — no Long overflow in the hot loop, no BigInt.
+    */
+  private[functions] val coeffA: Array[Long] = new Array[Long](NumHashes)
+  private[functions] val coeffB: Array[Long] = new Array[Long](NumHashes)
+  locally {
+    var s = 0x9e3779b97f4a7c15L // fixed seed — determinism is load-bearing
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var i = 0
+    while (i < NumHashes) {
+      coeffA(i) = (next() & 0x7fffffffL) | 1L // odd, in [1, 2^31)
+      coeffB(i) = next() & 0xffffffffL
+      i += 1
+    }
+  }
+
+  /** Column form: 32-bit token id from an arbitrary token string. */
+  def tokenId(token: Column): Column =
+    functions.xxhash64(token).bitwiseAND(functions.lit(0xffffffffL))
+
+  /** The signature aggregator as a ready-to-use column function:
+    * `minhash(tokenId(col("token")))` inside a `groupBy(doc).agg(...)`.
+    */
+  val minhash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    functions.udaf(new MinHashAgg, Encoders.scalaLong)
+}
+
+/** Per-group MinHash signature: elementwise min over k universal hashes of
+  * the 32-bit token ids. Buffer is a primitive Array[Long] — bounded state
+  * (k × 8 bytes per group) regardless of document length, which is what
+  * makes the aggregation safe under map-side partial aggregation at scale.
+  */
+class MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+  import MinHash._
+
+  def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+
+  def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    var i = 0
+    while (i < NumHashes) {
+      val h = (coeffA(i) * x + coeffB(i)) % Prime
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumHashes) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  def finish(buf: Array[Long]): Array[Long] = buf
+
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.MinHash
+
+/** SURVEY §2.2-H — LLM-training-data-pipeline operators (the north star).
+  *
+  * Design split, per operator family:
+  *   - an ORACLE-ABLE bounded/baseline form declared here (DuckDB-verified
+  *     by the driver), and
+  *   - where the baseline is O(n²), a SKETCH/BUCKETED scale form whose only
+  *     shuffles are linear groupBys (MinHash/LSH — `graft.functions.MinHash`),
+  *     so the same operator survives 100 TB where all-pairs cannot.
+  *
+  * Conventions: R2/R3 numeric discipline (BIGINT casts on both sides of
+  * every sum — DuckDB promotes sum(BIGINT) to HUGEINT), identical division
+  * shapes (CAST x AS DOUBLE / CAST y AS DOUBLE), deterministic total
+  * ordering with a unique trailing key, column aliases identical in Spark
+  * and oracle SQL (the driver compare is name-sensitive).
+  */
+object LlmQueries {
+
+  /** Distinct non-empty whitespace tokens. Spark `split` is regex and DuckDB
+    * `string_split` is literal, but for the single-space separator they are
+    * identical (SURVEY §2.2-F fn_array, [MEASURED]).
+    */
+  private def toks(text: Column): Column =
+    array_distinct(filter(split(text, " "), t => t =!= ""))
+
+  private val toksSqlDuck =
+    "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+  /** inter / (|a| + |b| - inter) with the identical IEEE division shape on
+    * both engines.
+    */
+  private def jaccard(aToks: Column, bToks: Column): Column = {
+    val inter = size(array_intersect(aToks, bToks))
+    inter.cast("double") /
+      (size(aToks) + size(bToks) - inter).cast("double")
+  }
+
+  val defs: Seq[Q] = Seq(
+    // H: exact dedup — keep min(doc_id) per identical text. groupBy form
+    // (not dropDuplicates) so the oracle is literally the same aggregation;
+    // at scale this is one hash-shuffle on the text key with map-side
+    // partial aggregation. (This corpus has no byte-identical dups — the
+    // normalized variant below exercises the collapse path.)
+    Q(
+      "llm_dedup_exact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_dups"))
+          .select(col("keep_id"), col("n_dups"), col("text"))
+          .orderBy(col("keep_id"))
+      },
+      oracle = Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id""")),
+
+    // H: normalized dedup — canonical key = first 8 lowercased tokens, in
+    // document order (NOT distinct: DuckDB list_distinct does not preserve
+    // element order, so a distinct-then-slice key diverges between engines).
+    // Same shuffle shape as exact dedup but actually collapses groups on
+    // this corpus (23 multi-doc groups at sf0.01). Spark slice(arr,1,8) and
+    // DuckDB toks[1:8] both take elements 1..8.
+    Q(
+      "llm_dedup_norm",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_join(
+              slice(filter(split(lower(col("text")), " "), t => t =!= ""),
+                1, 8), " ").as("key"))
+          .groupBy(col("key"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_dups"))
+          .select(col("keep_id"), col("n_dups"), col("key"))
+          .orderBy(col("keep_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string((list_filter(
+                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' ') AS key
+          FROM documents)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_dups, key
+        FROM t
+        GROUP BY key
+        ORDER BY keep_id""")),
+
+    // H: near-dup pairs by exact token-set Jaccard ≥ 0.8 over a bounded id
+    // range — the oracle-able baseline. The UNBOUNDED scale form is
+    // llm_neardup_minhash below; this one exists so the τ-thresholded
+    // Jaccard semantics themselves are DuckDB-verified.
+    Q(
+      "llm_neardup_jaccard",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"), toks(col("text")).as("toks"))
+        val a = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+        val b = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            jaccard(col("a_toks"), col("b_toks")).as("jac"))
+          .where(col("jac") >= 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSqlDuck AS toks
+          FROM documents WHERE doc_id < 200),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, jac FROM p
+        WHERE jac >= 0.8
+        ORDER BY a_id, b_id""")),
+
+    // H (scale form): MinHash/LSH near-dup over the FULL corpus — no
+    // bounded id range, no all-pairs. Signature build and band bucketing
+    // are linear groupBys; only same-bucket candidates get exact-verified.
+    // With k=128, b=32, r=4 the miss probability for a true j≥0.8 pair is
+    // ≤ 6e-8, so on this corpus the verified output equals the exact
+    // all-pairs answer — which is exactly what the oracle computes
+    // (equality confirmed at sf0.001/sf0.01/sf0.1 before declaring).
+    Q(
+      "llm_neardup_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("toks"))
+        val sigs = docs
+          .select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy(col("doc_id"))
+          .agg(MinHash.minhash(MinHash.tokenId(col("token"))).as("sig"))
+        val bands = sigs
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, ${MinHash.NumBands - 1})")).as("band"),
+            col("sig"))
+          .select(col("doc_id"), col("band"),
+            xxhash64(col("band"),
+              expr(s"slice(sig, band * ${MinHash.RowsPerBand} + 1, " +
+                s"${MinHash.RowsPerBand})")).as("bh"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val at = docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+        val bt = docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+        cand.join(at, "a_id").join(bt, "b_id")
+          .select(col("a_id"), col("b_id"),
+            jaccard(col("a_toks"), col("b_toks")).as("jac"))
+          .where(col("jac") >= 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSqlDuck AS toks
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, jac FROM p
+        WHERE jac >= 0.8
+        ORDER BY a_id, b_id""")),
+
+    // H: brute-force top-k most-similar vector pairs by dot product (R4:
+    // everything in DOUBLE before any arithmetic — the one mismatch SURVEY
+    // §2.3 ever measured was FLOAT[] dot products). Plans as
+    // TakeOrderedAndProject: per-partition top-k heaps, no global sort.
+    Q(
+      "llm_sim_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+        val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x).as("dot"))
+          .orderBy(col("dot").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS dot
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY dot DESC, a_id, b_id
+        LIMIT 20""")),
+
+    // H: per-vector 3-NN for a bounded probe set against the full corpus —
+    // dot-product + rank window with a deterministic n_id tiebreak. The
+    // probe×base join is the honest bounded baseline; the 100 TB path
+    // replaces `base` with LSH-bucketed candidates (same downstream window).
+    Q(
+      "llm_knn_per_vector",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val probe = e.where(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        val base = e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+        import org.apache.spark.sql.expressions.Window
+        val scored = probe.join(base, col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            aggregate(zip_with(col("q_v"), col("n_v"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x).as("dot"))
+        scored
+          .withColumn("nn_rank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("dot").desc, col("n_id"))))
+          .where(col("nn_rank") <= 3)
+          .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
+          .orderBy(col("q_id"), col("nn_rank"))
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS dot
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 100),
+        ranked AS (
+          SELECT q_id, n_id, dot,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, n_id) AS nn_rank
+          FROM scored)
+        SELECT q_id, nn_rank, n_id, dot FROM ranked
+        WHERE nn_rank <= 3
+        ORDER BY q_id, nn_rank""")),
+
+    // H: per-(lang, source) corpus statistics — doc counts, char stats,
+    // token counts. One hash-shuffle on the grouping key; BIGINT casts on
+    // every sum (DuckDB HUGEINT promotion), identical division shape for
+    // the mean.
+    Q(
+      "llm_text_stats",
+      (s, d) => {
+        Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            (sum(col("n_chars")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_chars"),
+            sum(size(toks(col("text")))).cast("bigint").as("sum_tokens"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some(s"""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+               CAST(sum(len($toksSqlDuck)) AS BIGINT) AS sum_tokens
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source""")),
+
+    // H: lang × source contingency as conditional aggregation (SURVEY: NOT
+    // df.pivot, so the oracle is the same CASE sums and the column set is
+    // static). Single shuffle on lang.
+    Q(
+      "llm_lang_pivot",
+      (s, d) => {
+        val srcs = (0 to 4).map(i => s"src$i")
+        val counts = srcs.map(sv =>
+          sum(when(col("source") === sv, 1L).otherwise(0L))
+            .cast("bigint").as(s"n_$sv"))
+        val other = sum(when(!col("source").isin(srcs: _*), 1L).otherwise(0L))
+          .cast("bigint").as("n_other")
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(counts.head, (counts.tail :+ other :+
+            count(lit(1)).as("n_total")): _*)
+          .orderBy(col("lang"))
+      },
+      oracle = Some {
+        val srcs = (0 to 4).map(i => s"src$i")
+        val cases = srcs.map(sv =>
+          s"CAST(sum(CASE WHEN source = '$sv' THEN 1 ELSE 0 END) AS BIGINT) AS n_$sv")
+          .mkString(",\n               ")
+        val inList = srcs.map(sv => s"'$sv'").mkString(", ")
+        s"""
+        SELECT lang,
+               $cases,
+               CAST(sum(CASE WHEN source NOT IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+               count(*) AS n_total
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang"""
+      }))
+}
