@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.streaming.{EventStream, StreamOps}
+
+/** SURVEY §2.2-I promoted to the driver contract — each entry runs a REAL
+  * Structured Streaming query (file source over `events`, the stand-in for
+  * the Kinesis source) to completion under Trigger.AvailableNow, then
+  * returns the sink table. Because the input is one micro-batch plus the
+  * trailing no-data batch, every one of these is deterministic — which lets
+  * us go beyond the SURVEY's "no oracle" plan and hash-verify the streaming
+  * surface against DuckDB like any batch row.
+  *
+  * S3 (session windows) stays test-only: sessions still open at end-of-input
+  * are withheld under append mode, so its AvailableNow output is a strict
+  * subset of the batch answer (see StreamingEquivalenceSpec).
+  */
+object StreamQueries {
+
+  private def run(name: String, mode: String)(
+      xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+    (s: org.apache.spark.sql.SparkSession, d: String) =>
+      EventStream.runAvailableNow(s, name, xform(EventStream.readEvents(s, d)), mode)
+
+  val defs: Seq[Q] = Seq(
+    // S1: tumbling window aggregation, complete mode (no watermark needed;
+    // the memory sink holds the full group state, which is bounded by
+    // #windows × #event_types, not by input rows).
+    Q(
+      "stream_tumbling",
+      (s, d) => run("stream_tumbling", "complete")(StreamOps.tumbling)(s, d)
+        .orderBy(col("ws"), col("event_type")),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY ws, event_type""")),
+
+    // S2: sliding windows (1h every 15min) — each event lands in exactly 4
+    // epoch-aligned windows; the oracle expands them with an explicit
+    // 0..3 offset join on epoch arithmetic (origin-free, unlike
+    // time_bucket, so no bucket-origin assumptions).
+    Q(
+      "stream_sliding",
+      (s, d) => run("stream_sliding", "complete")(StreamOps.sliding)(s, d)
+        .orderBy(col("ws"), col("event_type")),
+      oracle = Some("""
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+                 - k * INTERVAL 15 MINUTES AS ws,
+               event_type, count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+        GROUP BY 1, 2
+        ORDER BY ws, event_type""")),
+
+    // S4: watermarked tumbling agg in APPEND mode — the emission rule is
+    // the contract: only windows whose end ≤ final watermark
+    // (max(ts) − 2h) are in the output; the rest are withheld in state.
+    Q(
+      "stream_watermark_late",
+      (s, d) => run("stream_watermark_late", "append")(StreamOps.watermarkTumbling)(s, d)
+        .orderBy(col("ws"), col("event_type")),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+                 <= (SELECT max(ts) - INTERVAL 2 HOURS FROM events)
+        ORDER BY ws, event_type""")),
+
+    // S5: streaming dedup on (user_id, event_type) within the watermark;
+    // only the key columns are emitted so kept-row arrival order can't
+    // make the result nondeterministic.
+    Q(
+      "stream_dedup",
+      (s, d) => run("stream_dedup", "append")(StreamOps.dedupKeys)(s, d)
+        .orderBy(col("user_id"), col("event_type")),
+      oracle = Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type""")),
+
+    // S6: stream-stream inner join (purchases ⋈ clicks, same user, ±30min).
+    // Inner joins emit within the micro-batch, so AvailableNow output
+    // equals the batch join; the watermarks exist to bound state at scale.
+    Q(
+      "stream_stream_join",
+      (s, d) => run("stream_stream_join", "append")(StreamOps.purchaseClickJoin)(s, d)
+        .orderBy(col("p_event_id"), col("c_event_id")),
+      oracle = Some("""
+        SELECT p.user_id AS user_id, p.event_id AS p_event_id,
+               c.event_id AS c_event_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES
+                      AND p.ts + INTERVAL 30 MINUTES
+        ORDER BY p_event_id, c_event_id""")),
+
+    // S7: stream-static enrichment against the customer dimension —
+    // static side broadcast per micro-batch.
+    Q(
+      "stream_static_join",
+      (s, d) => {
+        val xform = (ev: org.apache.spark.sql.DataFrame) =>
+          StreamOps.staticEnrich(ev, Tables.customer(s, d))
+        run("stream_static_join", "append")(xform)(s, d)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+        ORDER BY event_id""")),
+
+    // S8: stateful signup→purchase funnel via flatMapGroupsWithState —
+    // first purchase at-or-after the first signup, one row per converted
+    // user, two longs of state per user.
+    Q(
+      "stream_funnel",
+      (s, d) => run("stream_funnel", "append")(StreamOps.funnel)(s, d)
+        .orderBy(col("user_id")),
+      oracle = Some("""
+        WITH s AS (
+          SELECT user_id, min(ts) AS signup_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id, s.signup_ts)
+        SELECT user_id, signup_ts, purchase_ts FROM p
+        ORDER BY user_id""")))
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming ingestion of the `events` table + the AvailableNow runner that
+  * turns a streaming transform into a deterministic batch DataFrame for the
+  * driver contract.
+  *
+  * The file source stands in for the Kinesis source during correctness
+  * checks: both deliver the same rows through the same mode-agnostic
+  * transforms (StreamOps), so swapping `format("parquet")` for
+  * `format("kinesis")` (graft.sources) changes ingestion only, not
+  * semantics.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events with `ts` as LongType: the file carries
+    * INT64 TIMESTAMP(NANOS) which Spark 4 only reads under
+    * `nanosAsLong=true` (SURVEY §1.2) — same landmine as the batch reader,
+    * same exact ns→µs normalization.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of `$dir/events.parquet`, normalized to the exact same
+    * schema/values as `Tables.events`.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // Glob, not bare file: FileStreamSource requires a directory basePath;
+      // the pattern keeps discovery scoped to the events table only.
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion under Trigger.AvailableNow
+    * into an in-memory table and return its contents. Deterministic because
+    * the whole input is one micro-batch (single file) plus the trailing
+    * no-data batch that finalizes watermark-gated state.
+    *
+    * The memory sink is the harness-side terminal only (bounded verify-time
+    * data); production sinks are foreachBatchParquet / the Kinesis sink.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      name: String,
+      df: DataFrame,
+      outputMode: String): DataFrame = {
+    val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+}

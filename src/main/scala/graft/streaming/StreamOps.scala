@@ -1,0 +1,188 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY §2.2-I — the streaming operator surface (S1–S9), expressed as
+  * MODE-AGNOSTIC transforms: every function here takes a DataFrame that may
+  * be either a streaming source (readStream) or a batch scan of the same
+  * rows, and produces the identical logical plan on both. That single-source
+  * design is what the batch-equivalence tests (SURVEY §5.2(2)) lean on: the
+  * streaming result under Trigger.AvailableNow must equal the batch result
+  * of the very same function.
+  *
+  * Scale posture: each transform's only shuffle is the keyed exchange its
+  * semantics require (window×type, user, dedup key); state stores are keyed
+  * by the same attributes, so a 1000-executor cluster partitions state
+  * horizontally with no driver-side or single-partition step anywhere.
+  */
+object StreamOps {
+
+  /** S1 — 1-hour tumbling counts/sums per event_type. Epoch-aligned windows
+    * (Spark `window()` default), so the DuckDB oracle is date_trunc.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      // R2: value is 2-decimal data — sum exactly, cast the result. A raw
+      // double sum is accumulation-order-dependent and cross-engine flaky.
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** S2 — 1-hour windows sliding every 15 minutes: each event lands in 4
+    * overlapping windows (epoch-aligned starts).
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+
+  /** S3 — session windows per user, 30-minute gap. Streaming session
+    * aggregation requires a watermark; the 0-second delay makes the final
+    * no-data batch flush every session whose close precedes the max event
+    * time (test-only promotion rule: sessions still open at end-of-input are
+    * withheld in append mode, so this is NOT a `queries` entry — see
+    * StreamingEquivalenceSpec for how the sentinel flushes them).
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** S4 — watermarked tumbling aggregation: 2-hour lateness bound, append
+    * mode. Under AvailableNow the final watermark is max(ts) − 2h and only
+    * windows with end ≤ watermark are emitted — that emission rule is the
+    * deterministic contract the oracle reproduces.
+    */
+  def watermarkTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"))
+
+  /** S5 — streaming dedup on a business key within the watermark. Only the
+    * key columns are projected so the kept-row choice (arrival order,
+    * nondeterministic across partitions) can't leak into the result.
+    */
+  def dedupKeys(events: DataFrame): DataFrame = {
+    val deduped = events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    deduped.select(col("user_id"), col("event_type"))
+  }
+
+  /** S6 — stream-stream inner join: purchases ⋈ clicks by user within
+    * ±30 minutes. Inner joins emit within the arriving micro-batch, so the
+    * AvailableNow result equals the batch join; the watermarks bound state
+    * retention (the 100 TB requirement — without them both sides buffer
+    * forever).
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("p_event_id"),
+        col("c_event_id"), col("p_ts"), col("c_ts"))
+  }
+
+  /** S7 — stream-static enrichment join: events against the (batch)
+    * customer dimension. The static side is re-planned per micro-batch and
+    * broadcast when small — the canonical dimension-enrichment shape.
+    */
+  def staticEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "inner")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+
+  // ---------------------------------------------------------------- S8 ----
+
+  /** Typed row for the stateful funnel. ts carried as epoch micros so the
+    * encoder stays primitive (no timezone re-interpretation inside state).
+    */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  /** Conversion state: earliest signup seen, whether converted. */
+  case class FunnelState(signupUs: Long, converted: Boolean)
+
+  case class Conversion(user_id: Long, signup_ts_us: Long, purchase_ts_us: Long)
+
+  /** S8 — signup→purchase funnel per user via flatMapGroupsWithState: emit
+    * one row per user for the FIRST purchase at-or-after their FIRST signup.
+    * State is two longs per user — bounded regardless of event volume.
+    * Events within a batch arrive unordered; the function sorts its group
+    * slice, which combined with min-signup/min-purchase semantics makes the
+    * result independent of micro-batch boundaries (verified by the
+    * multi-batch equivalence test).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .where(col("event_type").isin("signup", "purchase"))
+      .as[FunnelEvent]
+
+    val out = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processFunnelGroup)
+    out.select(col("user_id"),
+      timestamp_micros(col("signup_ts_us")).as("signup_ts"),
+      timestamp_micros(col("purchase_ts_us")).as("purchase_ts"))
+  }
+
+  private[streaming] def processFunnelGroup(
+      userId: Long,
+      rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[Conversion] = {
+    if (state.exists && state.get.converted) return Iterator.empty
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+    var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, converted = false))
+    var out: Option[Conversion] = None
+    sorted.foreach { e =>
+      if (!st.converted) {
+        if (e.event_type == "signup" && e.ts_us < st.signupUs)
+          st = st.copy(signupUs = e.ts_us)
+        else if (e.event_type == "purchase" && st.signupUs != Long.MaxValue &&
+          e.ts_us >= st.signupUs) {
+          out = Some(Conversion(userId, st.signupUs, e.ts_us))
+          st = st.copy(converted = true)
+        }
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** S9 — micro-batch parquet sink via foreachBatch: the standard "stream
+    * into a lake table" shape (idempotent per batchId path). Returns the
+    * started query; the caller owns lifecycle.
+    */
+  def foreachBatchParquet(events: DataFrame, outDir: String) =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+}

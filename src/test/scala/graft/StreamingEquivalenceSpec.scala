@@ -1,0 +1,205 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{EventStream, StreamOps}
+
+/** SURVEY §5.2(2): streaming batch-equivalence. The mode-agnostic transforms
+  * in StreamOps must produce, under Trigger.AvailableNow (single micro-batch
+  * + trailing no-data batch), exactly the rows the same transform produces
+  * on a batch scan of the same data — and the multi-batch tests pin the
+  * *policies* (late-data drop, session flush at watermark, cross-batch
+  * funnel state) that AvailableNow alone cannot exercise.
+  */
+class StreamingEquivalenceSpec extends GraftSpec {
+
+  private val sf = TestEnv.Sf001
+
+  private def canonRows(df: DataFrame): Seq[Seq[String]] =
+    TestEnv.sparkRows(df)._2
+
+  private def assertSameRows(streaming: DataFrame, batch: DataFrame): Unit = {
+    val s = canonRows(streaming)
+    val b = canonRows(batch)
+    assert(s.size == b.size, s"row counts differ: stream=${s.size} batch=${b.size}")
+    assert(s == b)
+  }
+
+  // ------------------------------------------------- AvailableNow == batch
+
+  test("S1 tumbling: AvailableNow equals batch") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s1",
+      StreamOps.tumbling(EventStream.readEvents(spark, sf)), "complete")
+    assertSameRows(
+      stream.orderBy(col("ws"), col("event_type")),
+      StreamOps.tumbling(Tables.events(spark, sf))
+        .orderBy(col("ws"), col("event_type")))
+  }
+
+  test("S2 sliding: AvailableNow equals batch") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s2",
+      StreamOps.sliding(EventStream.readEvents(spark, sf)), "complete")
+    assertSameRows(
+      stream.orderBy(col("ws"), col("event_type")),
+      StreamOps.sliding(Tables.events(spark, sf))
+        .orderBy(col("ws"), col("event_type")))
+  }
+
+  test("S4 watermarked append: emits exactly the windows closed by the final watermark") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s4",
+      StreamOps.watermarkTumbling(EventStream.readEvents(spark, sf)), "append")
+    val events = Tables.events(spark, sf)
+    val maxTs = events.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val batch = StreamOps.watermarkTumbling(events)
+      .where(col("ws") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs) - expr("INTERVAL 2 HOURS"))
+    assertSameRows(
+      stream.orderBy(col("ws"), col("event_type")),
+      batch.orderBy(col("ws"), col("event_type")))
+  }
+
+  test("S5 dedup keys: AvailableNow equals batch distinct") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s5",
+      StreamOps.dedupKeys(EventStream.readEvents(spark, sf)), "append")
+    assertSameRows(
+      stream.orderBy(col("user_id"), col("event_type")),
+      Tables.events(spark, sf).select(col("user_id"), col("event_type"))
+        .distinct().orderBy(col("user_id"), col("event_type")))
+  }
+
+  test("S6 stream-stream join: AvailableNow equals batch join") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s6",
+      StreamOps.purchaseClickJoin(EventStream.readEvents(spark, sf)), "append")
+    assertSameRows(
+      stream.orderBy(col("p_event_id"), col("c_event_id")),
+      StreamOps.purchaseClickJoin(Tables.events(spark, sf))
+        .orderBy(col("p_event_id"), col("c_event_id")))
+  }
+
+  test("S7 stream-static join: AvailableNow equals batch join") {
+    val customer = Tables.customer(spark, sf)
+    val stream = EventStream.runAvailableNow(spark, "eq_s7",
+      StreamOps.staticEnrich(EventStream.readEvents(spark, sf), customer), "append")
+    assertSameRows(
+      stream.orderBy(col("event_id")),
+      StreamOps.staticEnrich(Tables.events(spark, sf), customer)
+        .orderBy(col("event_id")))
+  }
+
+  test("S8 funnel: AvailableNow equals batch flatMapGroupsWithState") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s8",
+      StreamOps.funnel(EventStream.readEvents(spark, sf)), "append")
+    assertSameRows(
+      stream.orderBy(col("user_id")),
+      StreamOps.funnel(Tables.events(spark, sf)).orderBy(col("user_id")))
+  }
+
+  // ------------------------------------------------------ policy tests ----
+
+  /** Row shape for MemoryStream-driven tests. */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def ev(id: Long, tsSec: Long, user: Long, typ: String): Ev =
+    Ev(id, new Timestamp(tsSec * 1000L), user, typ, 1.0, "{}")
+
+  /** Drive a MemoryStream through explicit micro-batches into a memory sink;
+    * returns the sink table after all batches (and their watermark-followup
+    * no-data batches) complete.
+    */
+  private def runBatches(
+      xform: DataFrame => DataFrame,
+      mode: String,
+      batches: Seq[Ev]*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[Ev]
+    val qn = "policy_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q: StreamingQuery = xform(ms.toDF())
+      .writeStream.format("memory").queryName(qn).outputMode(mode).start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    s.table(qn)
+  }
+
+  private val T0 = 1700000000L // fixed epoch-second base, hour-unaligned
+
+  test("S4 policy: a late event behind the watermark is dropped, not double-counted") {
+    val t0Hour = T0 - (T0 % 3600)
+    val batch1 = Seq(
+      ev(1, t0Hour + 60, 1, "click"),
+      ev(2, t0Hour + 120, 1, "click"),
+      // 5h later: pushes watermark to (t0+5h) - 2h = t0+3h, closing hour t0.
+      ev(3, t0Hour + 5 * 3600 + 60, 2, "click"))
+    // Late arrival inside the already-closed t0 hour window.
+    val batch2 = Seq(ev(4, t0Hour + 300, 1, "click"))
+
+    val out = runBatches(StreamOps.watermarkTumbling, "append", batch1, batch2)
+      .where(col("ws") === lit(new Timestamp(t0Hour * 1000L)))
+      .collect()
+    assert(out.length == 1, s"window t0 must be emitted exactly once, got ${out.length}")
+    assert(out.head.getAs[Long]("n_events") == 2L,
+      "late event must be dropped from the closed window")
+  }
+
+  test("S5 policy: duplicate keys arriving in a later batch are suppressed") {
+    val batch1 = Seq(ev(1, T0, 1, "click"), ev(2, T0 + 10, 2, "view"))
+    val batch2 = Seq(ev(3, T0 + 20, 1, "click")) // dup key within watermark
+    val out = runBatches(StreamOps.dedupKeys, "append", batch1, batch2)
+    assert(out.count() == 2, "the second (user 1, click) must be deduplicated")
+  }
+
+  test("S3 policy: sessions flush once the watermark passes them; open sessions are withheld") {
+    val real = Seq(
+      ev(1, T0, 1, "click"),
+      ev(2, T0 + 600, 1, "click"),          // same session (10 min gap)
+      ev(3, T0 + 600 + 2400, 1, "click"),   // 40 min gap → new session
+      ev(4, T0 + 100, 2, "view"))
+    // Sentinel far in the future advances the watermark past every real
+    // session close; its own session stays open and is withheld.
+    val sentinel = Seq(ev(99, T0 + 86400, 999, "click"))
+
+    val out = runBatches(StreamOps.sessions, "append", real, sentinel)
+      .where(col("user_id") =!= 999)
+    val expected = StreamOps.sessions(
+      spark.createDataFrame(real).toDF("event_id", "ts", "user_id",
+        "event_type", "value", "props"))
+    assertSameRows(
+      out.orderBy(col("user_id"), col("session_start")),
+      expected.orderBy(col("user_id"), col("session_start")))
+    // Structure check: user 1 has exactly 2 sessions of sizes 2 and 1.
+    val u1 = out.where(col("user_id") === 1).orderBy(col("session_start"))
+      .collect().map(_.getAs[Long]("n_events")).toSeq
+    assert(u1 == Seq(2L, 1L))
+  }
+
+  test("S8 policy: funnel state carries across micro-batches") {
+    val batch1 = Seq(ev(1, T0, 7, "signup"), ev(2, T0 + 50, 8, "purchase"))
+    val batch2 = Seq(ev(3, T0 + 100, 7, "purchase"), // converts user 7
+      ev(4, T0 + 200, 7, "purchase")) // ignored: already converted
+    val out = runBatches(StreamOps.funnel, "append", batch1, batch2).collect()
+    assert(out.length == 1, "exactly one conversion (user 8 never signed up)")
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 7L)
+    assert(r.getAs[Timestamp]("purchase_ts").getTime == (T0 + 100) * 1000L,
+      "must convert on the FIRST purchase after signup")
+  }
+
+  test("S9 foreachBatch parquet sink: all input rows land in per-batch dirs") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_s9").toString
+    val q = StreamOps.foreachBatchParquet(EventStream.readEvents(spark, sf), outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_s9_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(s"$outDir/batch_*")
+    assert(written.count() == Tables.events(spark, sf).count())
+  }
+}
