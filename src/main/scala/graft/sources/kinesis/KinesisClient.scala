@@ -1,0 +1,92 @@
+package graft.sources.kinesis
+
+/** Minimal Kinesis data-plane surface the connector needs (SURVEY §2.1,
+  * §4.3). Modeled at the sequence-*range* level rather than the raw
+  * shard-iterator level: the reference's exactly-once trick
+  * (KinesisBackedBlockRDD re-reads records by SequenceNumberRange when a
+  * block is lost — SURVEY §2.1) is our PRIMARY read path, so ranges are the
+  * natural API. A production implementation backs `getRecords` with
+  * GetShardIterator(AT_SEQUENCE_NUMBER) + GetRecords pages; the deterministic
+  * in-memory fake (FakeKinesis.scala) backs it with a vector slice.
+  *
+  * Sequence numbers are Longs internally (fake) and rendered as the opaque
+  * zero-padded strings Kinesis users see in the row output; ordering and
+  * range semantics are identical either way.
+  */
+trait KinesisClient extends Serializable {
+
+  /** All shards of a stream, open and closed. */
+  def listShards(stream: String): Seq[ShardInfo]
+
+  /** Records of `shardId` with `from <= sequenceNumber < until`, in
+    * sequence order, at most `limit` per call (GetRecords page shape).
+    */
+  def getRecords(stream: String, shardId: String, from: Long, until: Long,
+      limit: Int): Seq[KinesisRecord]
+
+  /** The sequence number one past the last record currently in the shard
+    * (== the shard's endingSequenceNumber + 1 once it is closed).
+    */
+  def latestSequence(stream: String, shardId: String): Long
+
+  /** PutRecords: (partitionKey, payload) pairs routed to open shards. */
+  def putRecords(stream: String, records: Seq[(String, Array[Byte])]): Unit
+}
+
+/** Shard descriptor. `ending` is defined once the shard is closed by a
+  * reshard (split/merge); children carry `parent` so readers can drain
+  * parents before or alongside children (per-shard order is preserved
+  * inside each shard either way).
+  */
+final case class ShardInfo(
+    shardId: String,
+    parent: Option[String],
+    starting: Long,
+    ending: Option[Long]) {
+  def isClosed: Boolean = ending.isDefined
+}
+
+/** One Kinesis record as the source exposes it (fixed metadata schema,
+  * SURVEY §1.1): opaque payload bytes + stream/shard/sequence/partition-key
+  * provenance + approximate arrival time (epoch ms).
+  */
+final case class KinesisRecord(
+    stream: String,
+    shardId: String,
+    sequenceNumber: Long,
+    partitionKey: String,
+    data: Array[Byte],
+    approximateArrivalMs: Long)
+
+/** Serializable factory shipped inside InputPartitions so executors can
+  * construct their client without the driver serializing live connections.
+  */
+trait KinesisClientFactory extends Serializable {
+  def create(): KinesisClient
+}
+
+/** Looks up the JVM-local deterministic fake (tests / offline dev). */
+final case class FakeClientFactory(fakeId: String) extends KinesisClientFactory {
+  def create(): KinesisClient = FakeKinesisRegistry.get(fakeId)
+}
+
+/** Real-AWS factory: carries the reference's full option surface
+  * (endpoint/region/credentials/STS — SURVEY §2.1 SparkAWSCredentials rows)
+  * so user code is written against the final API, but this offline build has
+  * no AWS SDK on the classpath (zero egress), so `create()` fails fast with
+  * instructions rather than half-working.
+  */
+final case class AwsClientFactory(
+    endpointUrl: Option[String],
+    regionName: Option[String],
+    awsAccessKeyId: Option[String],
+    awsSecretKey: Option[String],
+    stsRoleArn: Option[String],
+    stsSessionName: Option[String],
+    stsExternalId: Option[String]) extends KinesisClientFactory {
+  def create(): KinesisClient =
+    throw new UnsupportedOperationException(
+      "AWS-backed KinesisClient requires the AWS SDK on the classpath; " +
+        "this build is offline-only. Provide option 'fake.id' to use the " +
+        "in-memory service, or wire an SDK-backed KinesisClientFactory.")
+}

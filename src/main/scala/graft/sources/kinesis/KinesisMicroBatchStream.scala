@@ -1,0 +1,155 @@
+package graft.sources.kinesis
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Micro-batch stream over Kinesis shards (SURVEY §3.1 / §7-M3).
+  *
+  * Progress model: one offset entry per (stream, shard) = next sequence
+  * number to read. Each trigger:
+  *   latestOffset  — ListShards + per-shard tip (driver → service boundary);
+  *   planInputPartitions — one InputPartition per shard with new data,
+  *     range [start, until) — parallelism is the shard count, mirroring
+  *     Kinesis's own unit of ordered parallelism (100 TB posture: a
+  *     1000-shard stream yields 1000 independent readers, and per-shard
+  *     order — the only order Kinesis defines — is preserved inside each
+  *     partition);
+  *   PartitionReader — pages getRecords with retry/backoff (executor →
+  *     service boundary), emitting the fixed metadata schema.
+  *
+  * Resharding: closed parents keep serving their residual range until
+  * drained (their tip freezes at ending+1); children appear in ListShards
+  * and start at their own first sequence. Nothing is dropped or duplicated
+  * because ranges are half-open and derived purely from offsets.
+  */
+final class KinesisMicroBatchStream(
+    streams: Seq[String],
+    clientFactory: KinesisClientFactory,
+    initialPosition: String)
+  extends MicroBatchStream {
+
+  private lazy val client: KinesisClient = clientFactory.create()
+
+  private def allShards(): Seq[(String, ShardInfo)] =
+    streams.flatMap(s => client.listShards(s).map(s -> _))
+
+  override def initialOffset(): Offset = {
+    val offsets = allShards().map { case (stream, shard) =>
+      val from = initialPosition.toLowerCase match {
+        case "latest"       => client.latestSequence(stream, shard.shardId)
+        case "trim_horizon" => shard.starting
+        case other => throw new IllegalArgumentException(
+          s"initialPosition must be latest|trim_horizon, got '$other'")
+      }
+      ShardKey(stream, shard.shardId) -> from
+    }.toMap
+    KinesisOffset(offsets)
+  }
+
+  override def latestOffset(): Offset = {
+    val offsets = allShards().map { case (stream, shard) =>
+      ShardKey(stream, shard.shardId) ->
+        client.latestSequence(stream, shard.shardId)
+    }.toMap
+    KinesisOffset(offsets)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startMap = start.asInstanceOf[KinesisOffset].shardOffsets
+    val endMap   = end.asInstanceOf[KinesisOffset].shardOffsets
+    // Shards absent from `start` are children born from a reshard after the
+    // last batch: begin at their own starting sequence (recorded via a
+    // fresh ListShards, driver-side).
+    lazy val births: Map[ShardKey, Long] = allShards().map { case (s, sh) =>
+      ShardKey(s, sh.shardId) -> sh.starting
+    }.toMap
+    endMap.toSeq.sortBy { case (k, _) => (k.stream, k.shardId) }.flatMap {
+      case (key, until) =>
+        val from = startMap.getOrElse(key, births.getOrElse(key, until))
+        if (until > from)
+          Some(KinesisInputPartition(key.stream, key.shardId, from, until,
+            clientFactory): InputPartition)
+        else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KinesisPartitionReaderFactory
+
+  override def deserializeOffset(json: String): Offset = KinesisOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One shard's half-open sequence range for one micro-batch. */
+final case class KinesisInputPartition(
+    stream: String,
+    shardId: String,
+    from: Long,
+    until: Long,
+    clientFactory: KinesisClientFactory) extends InputPartition
+
+final class KinesisPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KinesisPartitionReader(partition.asInstanceOf[KinesisInputPartition])
+}
+
+/** Pages the shard's range with GetRecords-shaped calls; retries transient
+  * throughput errors with linear backoff (the reference's
+  * KinesisRecordProcessor retry posture, minus KCL).
+  */
+final class KinesisPartitionReader(p: KinesisInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val PageLimit = 1000
+  private val MaxRetries = 5
+
+  private val client = p.clientFactory.create()
+  private var cursor = p.from
+  private var page: Seq[KinesisRecord] = Seq.empty
+  private var idx = 0
+  private var current: KinesisRecord = _
+
+  private def fetchPage(): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        page = client.getRecords(p.stream, p.shardId, cursor, p.until, PageLimit)
+        done = true
+      } catch {
+        case e: RuntimeException
+          if e.getMessage != null &&
+            e.getMessage.contains("ProvisionedThroughputExceeded") &&
+            attempt < MaxRetries =>
+          attempt += 1
+          Thread.sleep(10L * attempt)
+      }
+    }
+    idx = 0
+  }
+
+  override def next(): Boolean = {
+    if (idx >= page.size) {
+      if (cursor >= p.until) return false
+      fetchPage()
+      if (page.isEmpty) { cursor = p.until; return false }
+    }
+    current = page(idx)
+    idx += 1
+    cursor = current.sequenceNumber + 1
+    true
+  }
+
+  override def get(): InternalRow = InternalRow.fromSeq(Seq(
+    current.data,
+    UTF8String.fromString(current.stream),
+    UTF8String.fromString(current.partitionKey),
+    UTF8String.fromString(f"${current.sequenceNumber}%020d"),
+    UTF8String.fromString(current.shardId),
+    current.approximateArrivalMs * 1000L)) // epoch µs for TimestampType
+
+  override def close(): Unit = ()
+}

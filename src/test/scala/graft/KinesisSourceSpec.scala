@@ -1,0 +1,261 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.kinesis._
+
+/** SURVEY §5.2(4): connector tests against the deterministic fake service —
+  * offset arithmetic, exactly-once replay across restarts, split/merge
+  * resharding, throttling retries, initial positions, and the PutRecords
+  * sink. This is the offline replacement for the reference's env-gated
+  * real-AWS integration suites.
+  */
+class KinesisSourceSpec extends GraftSpec {
+
+  private var nextId = 0
+  private def freshFake(): (String, FakeKinesisService) = {
+    nextId += 1
+    val id = s"fake_${System.identityHashCode(this)}_$nextId"
+    (id, FakeKinesisRegistry.create(id))
+  }
+
+  private def readAvailable(fakeId: String, streams: String,
+      initialPosition: String = "trim_horizon",
+      checkpoint: String = Files.createTempDirectory("graft_kinesis_ckpt").toString): DataFrame = {
+    val df = spark.readStream
+      .format("kinesis")
+      .option("streams", streams)
+      .option("initialPosition", initialPosition)
+      .option("fake.id", fakeId)
+      .load()
+    val qn = "kinesis_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
+  private def payloads(df: DataFrame): Seq[String] =
+    df.select(col("data").cast("string")).collect().map(_.getString(0)).toSeq
+
+  /** Restart-capable variant: the memory sink refuses checkpoint recovery,
+    * so restart tests collect through foreachBatch instead (recovery
+    * supported). Returns only THIS run's payload strings.
+    */
+  private def readAvailableForeach(fakeId: String, streams: String,
+      checkpoint: String): Seq[String] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream
+      .format("kinesis")
+      .option("streams", streams)
+      .option("initialPosition", "trim_horizon")
+      .option("fake.id", fakeId)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select(col("data").cast("string")).collect()
+          .foreach(r => buf.add(r.getString(0)))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSeq
+  }
+
+  test("e2e: reads every record exactly once across shards with full metadata") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 3)
+    val msgs = (1 to 100).map(i => (s"pk$i", s"""{"n":$i}""".getBytes(UTF_8)))
+    svc.putRecords("s1", msgs)
+
+    val out = readAvailable(id, "s1")
+    assert(out.count() == 100)
+    assert(payloads(out).sorted == msgs.map(m => new String(m._2, UTF_8)).sorted)
+    // Metadata columns present and coherent.
+    val row = out.orderBy(col("sequenceNumber")).collect().head
+    assert(row.getAs[String]("streamName") == "s1")
+    assert(row.getAs[String]("shardId").startsWith("shardId-"))
+    assert(row.getAs[String]("sequenceNumber").length == 20)
+    assert(row.getAs[java.sql.Timestamp]("approximateArrivalTimestamp") != null)
+    // Distribution actually used multiple shards (pk hash routing).
+    assert(out.select(col("shardId")).distinct().count() == 3)
+  }
+
+  test("per-shard ordering: sequence numbers are monotonic within each shard") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    svc.putRecords("s1", (1 to 50).map(i => (s"pk$i", Array[Byte](i.toByte))))
+    val rows = readAvailable(id, "s1")
+      .select(col("shardId"), col("sequenceNumber")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val seqs = rs.map(_._2).toSeq
+      assert(seqs == seqs.sorted, "per-shard order must be preserved")
+    }
+  }
+
+  test("restart from checkpoint: second run reads only the new records (exactly-once)") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    val ckpt = Files.createTempDirectory("graft_kinesis_restart").toString
+
+    svc.putRecords("s1", (1 to 10).map(i => (s"a$i", s"first$i".getBytes(UTF_8))))
+    val first = readAvailableForeach(id, "s1", ckpt)
+    assert(first.size == 10)
+
+    svc.putRecords("s1", (1 to 5).map(i => (s"b$i", s"second$i".getBytes(UTF_8))))
+    val second = readAvailableForeach(id, "s1", ckpt)
+    assert(second.size == 5, "restart must resume from the checkpointed offset")
+    assert(second.forall(_.startsWith("second")))
+  }
+
+  test("reshard split: parent drains to its end, children picked up, no loss no dup") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1", (1 to 20).map(i => (s"pk$i", s"pre$i".getBytes(UTF_8))))
+    val parent = svc.listShards("s1").head.shardId
+    svc.splitShard("s1", parent)
+    svc.putRecords("s1", (1 to 20).map(i => (s"pk$i", s"post$i".getBytes(UTF_8))))
+
+    val out = readAvailable(id, "s1")
+    assert(out.count() == 40)
+    assert(payloads(out).toSet ==
+      ((1 to 20).map(i => s"pre$i") ++ (1 to 20).map(i => s"post$i")).toSet)
+    // Children actually served the post-split records.
+    val postShards = out.where(col("data").cast("string").startsWith("post"))
+      .select(col("shardId")).distinct().collect().map(_.getString(0)).toSet
+    assert(postShards.forall(_ != parent), "post-split records must be in children")
+  }
+
+  test("reshard merge: both parents drain, merged child serves new writes") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    svc.putRecords("s1", (1 to 12).map(i => (s"pk$i", s"pre$i".getBytes(UTF_8))))
+    val Seq(a, b) = svc.listShards("s1").map(_.shardId).toSeq
+    svc.mergeShards("s1", a, b)
+    svc.putRecords("s1", (1 to 8).map(i => (s"pk$i", s"post$i".getBytes(UTF_8))))
+
+    val out = readAvailable(id, "s1")
+    assert(out.count() == 20)
+    val postShard = out.where(col("data").cast("string").startsWith("post"))
+      .select(col("shardId")).distinct().collect().map(_.getString(0)).toSet
+    assert(postShard.size == 1 && !postShard.contains(a) && !postShard.contains(b))
+  }
+
+  test("mid-stream reshard between micro-batches via checkpoint restart") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    val ckpt = Files.createTempDirectory("graft_kinesis_reshard2").toString
+    svc.putRecords("s1", (1 to 7).map(i => (s"k$i", s"one$i".getBytes(UTF_8))))
+    assert(readAvailableForeach(id, "s1", ckpt).size == 7)
+
+    val parent = svc.listShards("s1").head.shardId
+    svc.splitShard("s1", parent)
+    svc.putRecords("s1", (1 to 9).map(i => (s"k$i", s"two$i".getBytes(UTF_8))))
+    val second = readAvailableForeach(id, "s1", ckpt)
+    assert(second.size == 9, "children discovered from a checkpointed offset")
+    assert(second.forall(_.startsWith("two")))
+  }
+
+  test("initialPosition=latest skips history; trim_horizon replays it") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1", Seq(("old", "old".getBytes(UTF_8))))
+    assert(readAvailable(id, "s1", initialPosition = "latest").count() == 0)
+    assert(readAvailable(id, "s1", initialPosition = "trim_horizon").count() == 1)
+  }
+
+  test("multiple streams fan-in via comma-separated 'streams' option") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.createStream("s2", 2)
+    svc.putRecords("s1", (1 to 3).map(i => (s"a$i", s"s1_$i".getBytes(UTF_8))))
+    svc.putRecords("s2", (1 to 4).map(i => (s"b$i", s"s2_$i".getBytes(UTF_8))))
+    val out = readAvailable(id, "s1, s2")
+    assert(out.count() == 7)
+    assert(out.select(col("streamName")).distinct().count() == 2)
+  }
+
+  test("throttling: injected ProvisionedThroughputExceeded errors are retried, result exact") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    svc.putRecords("s1", (1 to 30).map(i => (s"pk$i", s"r$i".getBytes(UTF_8))))
+    svc.failNextGetRecords(3)
+    val out = readAvailable(id, "s1")
+    assert(out.count() == 30)
+  }
+
+  test("payload decode: Payload.json parses data into typed columns") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1",
+      (1 to 5).map(i => (s"pk$i", s"""{"n":$i,"tag":"t$i"}""".getBytes(UTF_8))))
+    val raw = readAvailable(id, "s1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    val typed = Payload.json(raw, schema)
+    assert(typed.agg(sum(col("n"))).collect().head.getLong(0) == 15L)
+    assert(typed.columns.contains("tag") && typed.columns.contains("sequenceNumber"))
+  }
+
+  test("sink: writeStream format kinesis delivers all rows via PutRecords") {
+    val (id, svc) = freshFake()
+    svc.createStream("out", 2)
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData((1 to 25).map(i => (s"pk$i", s"payload$i")): _*)
+    val q = ms.toDF().toDF("pk", "txt")
+      .select(col("pk").as("partitionKey"), col("txt").cast("binary").as("data"))
+      .writeStream
+      .format("kinesis")
+      .option("streams", "out")
+      .option("fake.id", id)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_sink").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stored = svc.allRecords("out")
+    assert(stored.size == 25)
+    assert(stored.map(r => new String(r.data, UTF_8)).sorted ==
+      (1 to 25).map(i => s"payload$i").sorted)
+    assert(stored.map(_.shardId).distinct.size == 2, "keys spread across shards")
+  }
+
+  test("source→transform→sink roundtrip: kinesis in, StreamOps window agg, kinesis out semantics") {
+    // The full identity flow of the reference: ingest a stream, run a
+    // relational transform, and the result matches the same transform over
+    // the same records read as a batch.
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    val base = 1700003600L
+    val msgs = (0 until 60).map { i =>
+      (s"u${i % 6}", s"""{"user":${i % 6},"t":${base + i * 60}}""".getBytes(UTF_8))
+    }
+    svc.putRecords("s1", msgs)
+
+    val raw = readAvailable(id, "s1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType)))
+    val agg = Payload.json(raw, schema)
+      .select(col("user"), timestamp_seconds(col("t")).as("ts"))
+      .groupBy(window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user"), col("n"))
+      .orderBy(col("ws"), col("user"))
+      .collect().toSeq
+
+    assert(agg.nonEmpty && agg.map(_.getAs[Long]("n")).sum == 60)
+  }
+}
