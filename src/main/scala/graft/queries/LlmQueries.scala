@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.functions.MinHash
+import graft.functions.{MinHash, VectorOps}
 
 /** SURVEY §2.2-H — LLM-training-data-pipeline operators (the north star).
   *
@@ -127,41 +127,108 @@ object LlmQueries {
         ORDER BY a_id, b_id""")),
 
     // H (scale form): MinHash/LSH near-dup over the FULL corpus — no
-    // bounded id range, no all-pairs. Signature build and band bucketing
-    // are linear groupBys; only same-bucket candidates get exact-verified.
-    // With k=128, b=32, r=4 the miss probability for a true j≥0.8 pair is
-    // ≤ 6e-8, so on this corpus the verified output equals the exact
-    // all-pairs answer — which is exactly what the oracle computes
-    // (equality confirmed at sf0.001/sf0.01/sf0.1 before declaring).
+    // bounded id range, no all-pairs over documents. Pipeline (all linear
+    // shuffles):
+    //
+    //   1. token-set canonicalization: docs with IDENTICAL token sets
+    //      collapse to one representative (min doc_id) — identical sets
+    //      have identical signatures AND identical Jaccard to every other
+    //      set, so banding representatives loses nothing and the group
+    //      expansion at the end is exact. (Standard dedup-pipeline stage;
+    //      on this corpus 5000 docs → 3935 reps at sf0.1.)
+    //   2. MinHash signatures on reps (bounded-state udaf, map-side
+    //      combinable), k=128.
+    //   3. LSH banding b=32 × r=4: miss prob for a true j≥0.8 pair is
+    //      (1-0.8^4)^32 ≈ 5e-8; buckets = groupBy(band, bandHash).
+    //   4. pair generation bucket-locally with a two-stage explode and a
+    //      round-robin repartition between the stages (a hot bucket would
+    //      otherwise expand C(m,2) pairs in ONE task — reshard-the-skew,
+    //      same reasoning as salting a skewed join key);
+    //      candidate dedup as a single packed-long distinct
+    //      ((a<<32)|b — doc_ids are int-ranged here; a corpus with >2^31
+    //      docs would use the two-column form).
+    //   5. exact verify per candidate REP pair on sorted token-ID arrays
+    //      (int64 compare beats string sets; xxhash64 is injective on any
+    //      real vocabulary, and parity vs the string-based oracle is
+    //      re-checked at every sf), then expand rep groups back to doc
+    //      pairs: cross-group pairs inherit the verified jac verbatim,
+    //      intra-group pairs are exact duplicates (jac = 1.0 ≥ τ).
+    //
+    // NOTE on this corpus: 24% of ALL doc pairs are true near-dups at
+    // τ=0.8 (2.97M result rows at sf0.1 from a 31-token vocabulary), so
+    // ANY correct algorithm is answer-bound here; LSH's pruning value
+    // shows on realistic corpora where near-dup density is ~0.01%. The
+    // oracle computes the same answer all-pairs (fine at verify scale).
     Q(
       "llm_neardup_minhash",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), toks(col("text")).as("toks"))
-        val sigs = docs
-          .select(col("doc_id"), explode(col("toks")).as("token"))
-          .groupBy(col("doc_id"))
-          .agg(MinHash.minhash(MinHash.tokenId(col("token"))).as("sig"))
-        val bands = sigs
           .select(col("doc_id"),
+            sort_array(array_distinct(
+              transform(toks(col("text")), t => xxhash64(t)))).as("tids"))
+        // 1. identical-token-set groups → representative + members
+        val groups = docs
+          .groupBy(col("tids"))
+          .agg(min(col("doc_id")).as("rep_id"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
+          .persist()
+        // 2. signatures on representatives (token ids, masked to the
+        //    32-bit universal-hash domain — same values the string path
+        //    produced via MinHash.tokenId)
+        val sigs = groups
+          .select(col("rep_id"), explode(col("tids")).as("tid"))
+          .groupBy(col("rep_id"))
+          .agg(MinHash.minhash(col("tid").bitwiseAND(lit(0xffffffffL))).as("sig"))
+        // 3. banding
+        val bands = sigs
+          .select(col("rep_id"),
             explode(expr(s"sequence(0, ${MinHash.NumBands - 1})")).as("band"),
             col("sig"))
-          .select(col("doc_id"), col("band"),
+          .select(col("rep_id"), col("band"),
             xxhash64(col("band"),
               expr(s"slice(sig, band * ${MinHash.RowsPerBand} + 1, " +
                 s"${MinHash.RowsPerBand})")).as("bh"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        val buckets = bands
+          .groupBy(col("band"), col("bh"))
+          .agg(sort_array(collect_list(col("rep_id"))).as("ids"))
+          .where(size(col("ids")) > 1)
+        // 4. skew-resharded pair expansion + packed distinct
+        val anchors = buckets
+          .select(posexplode(col("ids")).as(Seq("i", "a_rep")), col("ids"))
+          .select(col("a_rep"),
+            slice(col("ids"), col("i") + lit(2),
+              size(col("ids")) - col("i") - lit(1)).as("rest"))
+          .where(size(col("rest")) > 0)
+          .repartition(256)
+        val cand = anchors
+          .select(col("a_rep"), explode(col("rest")).as("b_rep"))
+          .select(shiftleft(col("a_rep"), 32).bitwiseOR(col("b_rep")).as("pk"))
           .distinct()
-        val at = docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
-        val bt = docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
-        cand.join(at, "a_id").join(bt, "b_id")
-          .select(col("a_id"), col("b_id"),
-            jaccard(col("a_toks"), col("b_toks")).as("jac"))
+          .select(shiftright(col("pk"), 32).as("a_rep"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("b_rep"))
+        // 5. verify once per rep pair, then expand groups
+        val ga = groups.select(col("rep_id").as("a_rep"), col("tids").as("a_t"),
+          col("members").as("a_members"))
+        val gb = groups.select(col("rep_id").as("b_rep"), col("tids").as("b_t"),
+          col("members").as("b_members"))
+        val inter = size(array_intersect(col("a_t"), col("b_t")))
+        val crossPairs = cand
+          .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
+          .select(col("a_members"), col("b_members"),
+            (inter.cast("double") /
+              (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))
           .where(col("jac") >= 0.8)
+          .select(explode(col("a_members")).as("a_m"), col("b_members"), col("jac"))
+          .select(col("a_m"), explode(col("b_members")).as("b_m"), col("jac"))
+          .select(least(col("a_m"), col("b_m")).as("a_id"),
+            greatest(col("a_m"), col("b_m")).as("b_id"), col("jac"))
+        val intraPairs = groups.where(size(col("members")) > 1)
+          .select(posexplode(col("members")).as(Seq("i", "a_id")), col("members"))
+          .select(col("a_id"),
+            explode(slice(col("members"), col("i") + lit(2),
+              size(col("members")) - col("i") - lit(1))).as("b_id"))
+          .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+        crossPairs.unionAll(intraPairs)
           .orderBy(col("a_id"), col("b_id"))
       },
       oracle = Some(s"""
@@ -182,6 +249,9 @@ object LlmQueries {
     // everything in DOUBLE before any arithmetic — the one mismatch SURVEY
     // §2.3 ever measured was FLOAT[] dot products). Plans as
     // TakeOrderedAndProject: per-partition top-k heaps, no global sort.
+    // Dot product is the native codegen expression (VectorOps.dot) — same
+    // left-to-right IEEE accumulation as the aggregate(zip_with(...)) form
+    // it replaced, ~100× less per-pair overhead (SURVEY §4.3 escalation).
     Q(
       "llm_sim_cosine_topk",
       (s, d) => {
@@ -192,8 +262,7 @@ object LlmQueries {
         val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            aggregate(zip_with(col("a_v"), col("b_v"), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x).as("dot"))
+            VectorOps.dot(col("a_v"), col("b_v")).as("dot"))
           .orderBy(col("dot").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
@@ -221,8 +290,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val scored = probe.join(base, col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
-            aggregate(zip_with(col("q_v"), col("n_v"), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x).as("dot"))
+            VectorOps.dot(col("q_v"), col("n_v")).as("dot"))
         scored
           .withColumn("nn_rank", row_number().over(
             Window.partitionBy(col("q_id"))
