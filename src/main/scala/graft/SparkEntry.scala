@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Seq[Q] =
     ScanQueries.defs ++ AggQueries.defs ++ JoinQueries.defs ++
       SubqQueries.defs ++ WindowQueries.defs ++ FnQueries.defs ++
-      LlmQueries.defs ++ StreamQueries.defs
+      LlmQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** SURVEY §2.2-H extension — the text-analysis / fingerprinting family the
+  * north star calls out beyond the first eight H rows: SimHash near-dup,
+  * n-gram (shingle) Jaccard, quality scoring, language-ID heuristic, and
+  * winnowing-style document fingerprints.
+  *
+  * Cross-engine discipline for these rows:
+  *   - the only 64-bit token hash both engines share is md5 → take 15 hex
+  *     chars (60 bits, always positive; Spark `conv(...,16,10)` ↔ DuckDB
+  *     `('0x'||substr(...))::BIGINT`);
+  *   - SimHash uses bits 0..59 — DuckDB `1::BIGINT << 63` overflows, so a
+  *     60-bit fingerprint keeps the shift domain safe in both engines;
+  *   - every sum that could hit DuckDB's HUGEINT promotion is CAST to
+  *     BIGINT on both sides (R2/R3);
+  *   - token lists here are POSITIONAL (duplicates kept) where the
+  *     operator is frequency- or order-sensitive (SimHash weights,
+  *     shingles), unlike the set-based `toks` used by the Jaccard rows.
+  */
+object TextQueries {
+
+  /** Ordered, non-empty whitespace tokens (duplicates preserved). */
+  private def toksAll(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private val toksAllDuck = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Portable 60-bit token hash (see file header). */
+  private def tokHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("bigint")
+
+  private def tokHashDuck(t: String) = s"('0x' || substr(md5($t), 1, 15))::BIGINT"
+
+  val defs: Seq[Q] = Seq(
+    // H: SimHash near-dup — frequency-weighted 60-bit fingerprints, pairs
+    // within Hamming distance 8 over a bounded id range (the oracle-able
+    // form; the unbounded scale path buckets fingerprints by bit-band
+    // exactly like MinHash bands). Two linear shuffles: (doc, bit) sums,
+    // then per-doc assembly.
+    Q(
+      "llm_simhash_neardup",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"), explode(toksAll(col("text"))).as("tok"))
+          .select(col("doc_id"), tokHash(col("tok")).as("h"))
+        val bits = toks
+          .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("b"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1L).otherwise(-1L)).as("s"))
+        val fp = bits
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+            .cast("bigint").as("fp"))
+        val a = fp.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+        val b = fp.select(col("doc_id").as("b_id"), col("fp").as("b_fp"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+          .where(col("hamming") <= 8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, ${tokHashDuck("unnest(" + toksAllDuck + ")")} AS h
+          FROM documents WHERE doc_id < 200),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok CROSS JOIN (SELECT unnest(range(60)) AS b)
+          GROUP BY doc_id, b),
+        fp AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 8
+        ORDER BY a_id, b_id""")),
+
+    // H: n-gram (3-token shingle) Jaccard near-dup — order-sensitive where
+    // the token-set row is not: reordering tokens changes shingles. Bounded
+    // form for the oracle; the scale path reuses the MinHash pipeline with
+    // shingles as the token universe.
+    Q(
+      "llm_neardup_shingle",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(expr("sequence(1, size(toks) - 2)"),
+              i => array_join(slice(col("toks"), i, lit(3)), " "))).as("sh"))
+        val a = t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (inter.cast("double") /
+              (size(col("a_sh")) + size(col("b_sh")) - inter).cast("double")).as("jac"))
+          .where(col("jac") >= 0.3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $toksAllDuck AS toks
+                FROM documents WHERE doc_id < 150)
+          WHERE len(toks) >= 3),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, jac FROM p
+        WHERE jac >= 0.3
+        ORDER BY a_id, b_id""")),
+
+    // H: per-document quality scoring — token counts, type/token ratio,
+    // stopword ratio, mean token length, and a fixed-weight composite.
+    // Pure per-row arithmetic (no shuffle at all beyond the scan) with
+    // identical IEEE expression shapes on both engines.
+    Q(
+      "llm_quality_score",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+        val n = size(col("toks")).cast("double")
+        val types = size(array_distinct(col("toks"))).cast("double")
+        val stops = size(filter(col("toks"),
+          x => x.isin("the", "a"))).cast("double")
+        val sumLen = aggregate(transform(col("toks"), x => length(x)),
+          lit(0), (acc, x) => acc + x).cast("double")
+        t.where(size(col("toks")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_types"),
+            (types / n).as("ttr"),
+            (stops / n).as("stop_ratio"),
+            (sumLen / n).as("mean_tok_len"),
+            ((types / n) * 0.4 + (lit(1.0) - stops / n) * 0.3 +
+              least(n / 100.0, lit(1.0)) * 0.3).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $toksAllDuck AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_types,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+               (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+                 + (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE)) * 0.3
+                 + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
+        FROM t
+        WHERE len(toks) > 0
+        ORDER BY doc_id""")),
+
+    // H: dictionary-vote language ID. The corpus is synthetic (lang label
+    // is independent of text), so the dictionaries are deterministic
+    // pseudo-profiles — the operator shape (per-class token votes, argmax
+    // with fixed tiebreak, corpus-level confusion counts) is the real
+    // deliverable. Output is the (labeled × predicted) contingency.
+    Q(
+      "llm_lang_id",
+      (s, d) => {
+        val dictA = Seq("the", "a", "table", "row", "order")
+        val dictB = Seq("data", "value", "key", "hash", "merge")
+        val dictC = Seq("spark", "stream", "batch", "window", "join")
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toksAll(col("text")).as("toks"))
+        def score(dict: Seq[String]) =
+          size(filter(col("toks"), x => x.isin(dict: _*)))
+        val scored = t.select(col("doc_id"), col("lang"),
+          score(dictA).as("sa"), score(dictB).as("sb"), score(dictC).as("sc"))
+        val pred = when(col("sa") >= col("sb") && col("sa") >= col("sc"), "lang_a")
+          .when(col("sb") >= col("sc"), "lang_b")
+          .otherwise("lang_c")
+        scored.select(col("lang"), pred.as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang, $toksAllDuck AS toks FROM documents),
+        scored AS (
+          SELECT lang,
+                 len(list_filter(toks, x -> x IN ('the','a','table','row','order'))) AS sa,
+                 len(list_filter(toks, x -> x IN ('data','value','key','hash','merge'))) AS sb,
+                 len(list_filter(toks, x -> x IN ('spark','stream','batch','window','join'))) AS sc
+          FROM t),
+        p AS (
+          SELECT lang,
+                 CASE WHEN sa >= sb AND sa >= sc THEN 'lang_a'
+                      WHEN sb >= sc THEN 'lang_b'
+                      ELSE 'lang_c' END AS pred
+          FROM scored)
+        SELECT lang, pred, count(*) AS n_docs
+        FROM p GROUP BY lang, pred
+        ORDER BY lang, pred""")),
+
+    // H: winnowing-style document fingerprint — min-md5 over 4-token
+    // shingles (the classic rolling-window fingerprint with md5 standing
+    // in for the rolling hash: both engines share md5 exactly, and min of
+    // lowercase-hex strings is byte-order-stable in both).
+    Q(
+      "llm_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 4)
+          .select(
+            col("doc_id"),
+            array_min(transform(expr("sequence(1, size(toks) - 3)"),
+              i => md5(array_join(slice(col("toks"), i, lit(4)), " ")))).as("fp"),
+            size(array_distinct(transform(expr("sequence(1, size(toks) - 3)"),
+              i => array_join(slice(col("toks"), i, lit(4)), " ")))).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $toksAllDuck AS toks FROM documents)
+        SELECT doc_id,
+               list_aggregate(list_transform(range(1, len(toks) - 2),
+                 i -> md5(array_to_string(toks[i:i+3], ' '))), 'min') AS fp,
+               len(list_distinct(list_transform(range(1, len(toks) - 2),
+                 i -> array_to_string(toks[i:i+3], ' ')))) AS n_shingles
+        FROM t
+        WHERE len(toks) >= 4
+        ORDER BY doc_id""")))
+}

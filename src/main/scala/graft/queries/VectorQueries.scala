@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorOps
+
+/** SURVEY §2.2-H extension — the similarity-search scale path. The brief's
+  * contract: brute-force cosine top-k as the baseline (llm_sim_cosine_topk)
+  * and "an IVF or LSH-bucketed variant as the scale path". This file adds:
+  *
+  *   - llm_neardup_cosine: embedding-space near-dup pairs (cosine ≥ τ) —
+  *     the vector twin of the Jaccard text rows;
+  *   - llm_ann_ivf: IVF-style approximate nearest neighbour — deterministic
+  *     coarse quantizer (every 127th vector is a centroid), residency
+  *     assignment by max dot, nprobe=2 probing, exact re-rank within the
+  *     probed cells. Every step is deterministic dot-product arithmetic, so
+  *     unlike most ANN implementations it IS oracle-able: the DuckDB SQL
+  *     replays the identical quantize→probe→rerank pipeline and the driver
+  *     hash-checks it like any exact query. At 100 TB the same plan shape
+  *     holds: centroids broadcast, assignment is a map-side argmax, cells
+  *     shuffle once on c_id, probes read nprobe/√N of the corpus instead
+  *     of all of it.
+  *
+  * All dot products use the native codegen DotProduct expression, whose
+  * left-to-right accumulation is bit-identical to DuckDB list_dot_product.
+  */
+object VectorQueries {
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  val defs: Seq[Q] = Seq(
+    // H: embedding-cosine near-dup pairs over a bounded probe range —
+    // cosine = dot / (|a|·|b|), τ chosen above the corpus p99 (~0.29) so
+    // the pair set is the interesting tail.
+    Q(
+      "llm_neardup_cosine",
+      (s, d) => {
+        val e = vecs(s, d)
+          .select(col("vec_id"), col("v"),
+            sqrt(VectorOps.dot(col("v"), col("v"))).as("norm"))
+        val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+          col("norm").as("a_n"))
+        val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+          col("norm").as("b_n"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (VectorOps.dot(col("a_v"), col("b_v")) /
+              (col("a_n") * col("b_n"))).as("cos"))
+          .where(col("cos") >= 0.3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        ORDER BY a_id, b_id""")),
+
+    // H (scale form): IVF approximate NN, deterministic end to end (see
+    // file header). Queries = vec_id < 50, k = 3, nprobe = 2.
+    Q(
+      "llm_ann_ivf",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = e.where(col("vec_id") % 127 === 0)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        // residency: argmax_c dot(v, c) with deterministic c_id tiebreak
+        val assignW = Window.partitionBy(col("vec_id"))
+          .orderBy(VectorOps.dot(col("v"), col("cv")).desc, col("c_id"))
+        val cell = e.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(assignW))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("c_id"))
+        // probe: top-2 cells per query vector
+        val probeW = Window.partitionBy(col("q_id"))
+          .orderBy(VectorOps.dot(col("qv"), col("cv")).desc, col("c_id"))
+        val probes = e.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(probeW))
+          .where(col("rn") <= 2)
+          .select(col("q_id"), col("c_id"))
+        // candidates = residents of probed cells; exact re-rank top-3
+        val cand = probes.join(cell, "c_id")
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"))
+        val qa = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        val rankW = Window.partitionBy(col("q_id"))
+          .orderBy(col("dot").desc, col("n_id"))
+        cand.join(broadcast(qa), "q_id").join(broadcast(nb), "n_id")
+          .select(col("q_id"), col("n_id"),
+            VectorOps.dot(col("qv"), col("nv")).as("dot"))
+          .withColumn("nn_rank", row_number().over(rankW))
+          .where(col("nn_rank") <= 3)
+          .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
+          .orderBy(col("q_id"), col("nn_rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (
+          SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 127 = 0),
+        assign AS (
+          SELECT e.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
+          FROM e CROSS JOIN c),
+        cell AS (SELECT vec_id, c_id FROM assign WHERE rn = 1),
+        probe AS (
+          SELECT e.vec_id AS q_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
+          FROM e CROSS JOIN c WHERE e.vec_id < 50),
+        probes AS (SELECT q_id, c_id FROM probe WHERE rn <= 2),
+        cand AS (
+          SELECT p.q_id, cl.vec_id AS n_id
+          FROM probes p JOIN cell cl ON p.c_id = cl.c_id
+          WHERE cl.vec_id <> p.q_id),
+        scored AS (
+          SELECT cd.q_id, cd.n_id, list_dot_product(a.v, b.v) AS dot,
+                 row_number() OVER (PARTITION BY cd.q_id
+                   ORDER BY list_dot_product(a.v, b.v) DESC, cd.n_id) AS nn_rank
+          FROM cand cd
+          JOIN e a ON a.vec_id = cd.q_id
+          JOIN e b ON b.vec_id = cd.n_id)
+        SELECT q_id, nn_rank, n_id, dot FROM scored
+        WHERE nn_rank <= 3
+        ORDER BY q_id, nn_rank""")))
+}
