@@ -29,6 +29,26 @@ trait KinesisClient extends Serializable {
     */
   def latestSequence(stream: String, shardId: String): Long
 
+  /** First sequence number whose approximate arrival time is ≥ `epochMs`
+    * (GetShardIterator AT_TIMESTAMP); the shard tip if nothing qualifies.
+    */
+  def firstSequenceAtOrAfter(stream: String, shardId: String, epochMs: Long): Long =
+    getRecords(stream, shardId, 0L, Long.MaxValue, Int.MaxValue)
+      .find(_.approximateArrivalMs >= epochMs)
+      .map(_.sequenceNumber)
+      .getOrElse(latestSequence(stream, shardId))
+
+  /** Sequence position after reading at most `count` records from `from`
+    * (bounded by `until`) — the admission-control step. Default derives it
+    * from a bounded getRecords page; an AWS client gets it for free from
+    * GetRecords' own `Limit`.
+    */
+  def advanceBy(stream: String, shardId: String, from: Long, until: Long,
+      count: Int): Long = {
+    val page = getRecords(stream, shardId, from, until, count)
+    if (page.size < count) until else page.last.sequenceNumber + 1
+  }
+
   /** PutRecords: (partitionKey, payload) pairs routed to open shards. */
   def putRecords(stream: String, records: Seq[(String, Array[Byte])]): Unit
 }

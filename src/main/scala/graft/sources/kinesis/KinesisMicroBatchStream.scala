@@ -2,7 +2,7 @@ package graft.sources.kinesis
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Micro-batch stream over Kinesis shards (SURVEY §3.1 / §7-M3).
@@ -27,10 +27,24 @@ import org.apache.spark.unsafe.types.UTF8String
 final class KinesisMicroBatchStream(
     streams: Seq[String],
     clientFactory: KinesisClientFactory,
-    initialPosition: String)
-  extends MicroBatchStream {
+    initialPosition: String,
+    startingTimestampMs: Option[Long],
+    maxRecordsPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private lazy val client: KinesisClient = clientFactory.create()
+
+  /** Tip snapshot for Trigger.AvailableNow: the query drains up to exactly
+    * this frontier (in rate-limited steps when maxRecordsPerTrigger is
+    * set), then stops — records arriving after the snapshot wait for the
+    * next run.
+    */
+  @volatile private var availableNowTip: Option[Map[ShardKey, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(
+      latestOffset().asInstanceOf[KinesisOffset].shardOffsets)
 
   private def allShards(): Seq[(String, ShardInfo)] =
     streams.flatMap(s => client.listShards(s).map(s -> _))
@@ -40,8 +54,12 @@ final class KinesisMicroBatchStream(
       val from = initialPosition.toLowerCase match {
         case "latest"       => client.latestSequence(stream, shard.shardId)
         case "trim_horizon" => shard.starting
+        case "at_timestamp" =>
+          val ts = startingTimestampMs.getOrElse(throw new IllegalArgumentException(
+            "initialPosition=at_timestamp requires option 'startingTimestamp' (epoch ms)"))
+          client.firstSequenceAtOrAfter(stream, shard.shardId, ts)
         case other => throw new IllegalArgumentException(
-          s"initialPosition must be latest|trim_horizon, got '$other'")
+          s"initialPosition must be latest|trim_horizon|at_timestamp, got '$other'")
       }
       ShardKey(stream, shard.shardId) -> from
     }.toMap
@@ -54,6 +72,51 @@ final class KinesisMicroBatchStream(
         client.latestSequence(stream, shard.shardId)
     }.toMap
     KinesisOffset(offsets)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control (the reference's rate-limiting knobs re-expressed
+    * as DSv2 ReadLimit): under maxRows, the per-trigger record budget is
+    * split evenly across shards that have data — each shard advances by at
+    * most its share, so a hot shard cannot starve the rest and offsets
+    * stay strictly monotonic toward the tip.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[KinesisOffset].shardOffsets
+    val liveTip = latestOffset().asInstanceOf[KinesisOffset].shardOffsets
+    // Under AvailableNow, never plan past the prepared snapshot.
+    val tip = availableNowTip match {
+      case Some(snap) => liveTip.map { case (k, v) =>
+        k -> math.min(v, snap.getOrElse(k, v))
+      }
+      case None => liveTip
+    }
+    val maxRows = limit match {
+      case l: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(l.maxRows())
+      case _ => None
+    }
+    maxRows match {
+      case None => KinesisOffset(tip)
+      case Some(budget) =>
+        val pending = tip.filter { case (k, until) =>
+          until > startMap.getOrElse(k, until)
+        }
+        if (pending.isEmpty) KinesisOffset(tip)
+        else {
+          val perShard = math.max(1L, budget / pending.size).toInt
+          val advanced = tip.map { case (k, until) =>
+            startMap.get(k).filter(_ < until) match {
+              case Some(from) =>
+                k -> client.advanceBy(k.stream, k.shardId, from, until, perShard)
+              case None => k -> until
+            }
+          }
+          KinesisOffset(advanced)
+        }
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -17,12 +17,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** `spark.readStream.format("kinesis")` — DSv2 entry point (SURVEY §7-M3;
   * option surface mirrors the reference's SQL layer, SURVEY §2.1):
   *
-  *   streams            comma-separated stream names (required)
-  *   initialPosition    latest | trim_horizon            (default latest)
+  *   streams              comma-separated stream names (required)
+  *   initialPosition      latest | trim_horizon | at_timestamp (default latest)
+  *   startingTimestamp    epoch ms, required with at_timestamp
+  *   maxRecordsPerTrigger per-trigger record budget (admission control)
   *   endpointUrl, regionName                             (AWS client)
   *   awsAccessKeyId, awsSecretKey                        (basic creds)
   *   stsRoleArn, stsSessionName, stsExternalId           (STS chain)
-  *   fake.id            use the registered in-memory service (offline)
+  *   fake.id              use the registered in-memory service (offline)
   *
   * Payload stays opaque BINARY `data` (the reference's decoder model);
   * format decoding is a DataFrame-side concern — see
@@ -105,7 +107,9 @@ final class KinesisScan(options: CaseInsensitiveStringMap) extends Scan {
     new KinesisMicroBatchStream(
       KinesisTableProvider.streamNames(options),
       KinesisTableProvider.clientFactory(options),
-      Option(options.get("initialposition")).getOrElse("latest"))
+      Option(options.get("initialposition")).getOrElse("latest"),
+      Option(options.get("startingtimestamp")).map(_.toLong),
+      Option(options.get("maxrecordspertrigger")).map(_.toLong))
 }
 
 final class KinesisWriteBuilder(options: CaseInsensitiveStringMap, schema: StructType)

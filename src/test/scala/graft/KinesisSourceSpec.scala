@@ -192,6 +192,58 @@ class KinesisSourceSpec extends GraftSpec {
     assert(out.count() == 30)
   }
 
+  test("initialPosition=at_timestamp starts at the first record at-or-after the timestamp") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1", (1 to 6).map(i => (s"k$i", s"early$i".getBytes(UTF_8))))
+    val cutoff = svc.allRecords("s1").last.approximateArrivalMs + 1
+    svc.putRecords("s1", (1 to 4).map(i => (s"k$i", s"late$i".getBytes(UTF_8))))
+
+    val df = spark.readStream.format("kinesis")
+      .option("streams", "s1")
+      .option("initialPosition", "at_timestamp")
+      .option("startingTimestamp", cutoff.toString)
+      .option("fake.id", id)
+      .load()
+    val qn = "kats_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_ats").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = payloads(spark.table(qn))
+    assert(got.size == 4 && got.forall(_.startsWith("late")))
+  }
+
+  test("admission control: maxRecordsPerTrigger bounds each micro-batch, all records exactly once") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 2)
+    svc.putRecords("s1", (1 to 100).map(i => (s"pk$i", s"r$i".getBytes(UTF_8))))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("kinesis")
+      .option("streams", "s1")
+      .option("initialPosition", "trim_horizon")
+      .option("maxRecordsPerTrigger", "30")
+      .option("fake.id", id)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_ac").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val sizes = scala.jdk.CollectionConverters.CollectionHasAsScala(batchSizes)
+      .asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 100, s"exactly-once across rate-limited batches, got $sizes")
+    assert(sizes.size >= 3, s"budget 30 must split 100 records into several batches, got $sizes")
+    // even split across 2 shards: each batch ≤ budget (+1 per shard rounding)
+    assert(sizes.forall(_ <= 32), s"per-batch cap violated: $sizes")
+  }
+
   test("payload decode: Payload.json parses data into typed columns") {
     val (id, svc) = freshFake()
     svc.createStream("s1", 1)
