@@ -53,6 +53,18 @@ object EventStream {
     * The memory sink is the harness-side terminal only (bounded verify-time
     * data); production sinks are foreachBatchParquet / the Kinesis sink.
     */
+  /** State partition count for the declared streaming queries. Stateful
+    * operators pin their partitioning to `spark.sql.shuffle.partitions` at
+    * first plan (AQE cannot coalesce state), and each state partition pays
+    * fixed per-batch file I/O (delta + commit per store instance) — at
+    * verify scale, 32 partitions × 4 store instances of a stream-stream
+    * join is ~10 s of pure filesystem overhead for kilobytes of state
+    * (measured; 8 partitions → 3.2 s, same rows). Production sizes this UP
+    * with state volume; the point is that it is a sizing decision, not an
+    * inherited batch default.
+    */
+  private val StatePartitions = "8"
+
   def runAvailableNow(
       spark: SparkSession,
       name: String,
@@ -60,14 +72,22 @@ object EventStream {
       outputMode: String): DataFrame = {
     val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(qn)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    // The streaming plan is created on the stream-execution thread, so the
+    // conf must stay set until the query has fully run; the harness calls
+    // queries sequentially, making set→run→restore safe.
+    spark.conf.set(key, StatePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prior)
     spark.table(qn)
   }
 }
