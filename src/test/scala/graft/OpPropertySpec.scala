@@ -1,0 +1,142 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.{DotProduct, VectorOps}
+
+/** SURVEY §5.2(3) — the operator-level properties beyond the MinHash
+  * sketch: dedup idempotence, top-k ⊆ sorted prefix, similarity symmetry
+  * and range bounds, window rank density, and codegen↔interpreted
+  * agreement for the native DotProduct expression. Each property runs as
+  * ONE Spark job over a fixed-seed generated batch (deterministic, no
+  * per-trial job overhead).
+  */
+class OpPropertySpec extends GraftSpec {
+
+  private val rnd = new Random(0x5eed)
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+    val once = dedup(docs)
+    val twice = dedup(once)
+    assert(TestEnv.sparkRows(once.orderBy(col("doc_id")))._2 ==
+      TestEnv.sparkRows(twice.orderBy(col("doc_id")))._2)
+  }
+
+  test("top-k is exactly the k-prefix of the total sort") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 500).map(i => (i.toLong, rnd.nextDouble())).toDF("id", "x")
+    val topk = data.orderBy(col("x").desc, col("id")).limit(25).collect().toSeq
+    val prefix = data.orderBy(col("x").desc, col("id")).collect().take(25).toSeq
+    assert(topk == prefix)
+  }
+
+  test("jaccard: symmetric, in [0,1], 1 iff equal sets, 0 iff disjoint") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 200).map { i =>
+      val a = (0 until 1 + rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(12)}").distinct
+      val b = if (i % 7 == 0) a
+        else if (i % 5 == 0) a.map(_ + "_x") // disjoint
+        else (0 until 1 + rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(12)}").distinct
+      (a, b)
+    }.toDF("a", "b")
+    val inter = size(array_intersect(col("a"), col("b")))
+    val jac = inter.cast("double") /
+      (size(col("a")) + size(col("b")) - inter).cast("double")
+    val interBA = size(array_intersect(col("b"), col("a")))
+    val jacBA = interBA.cast("double") /
+      (size(col("b")) + size(col("a")) - interBA).cast("double")
+    val rows = cases.select(jac.as("ab"), jacBA.as("ba"),
+      (size(array_except(col("a"), col("b"))) === 0 &&
+        size(array_except(col("b"), col("a"))) === 0).as("eq"),
+      (size(array_intersect(col("a"), col("b"))) === 0).as("disjoint"))
+      .collect()
+    rows.foreach { r =>
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab == ba, "symmetry")
+      assert(ab >= 0.0 && ab <= 1.0, "range")
+      if (r.getBoolean(2)) assert(ab == 1.0, "identical sets → 1")
+      if (r.getBoolean(3)) assert(ab == 0.0, "disjoint sets → 0")
+    }
+  }
+
+  test("cosine via DotProduct: symmetric, |cos| <= 1 + eps, self-cos == 1") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1 to 200).map { _ =>
+      ((0 until 16).map(_ => rnd.nextDouble() * 2 - 1).toArray,
+        (0 until 16).map(_ => rnd.nextDouble() * 2 - 1).toArray)
+    }.toDF("a", "b")
+    val cos = VectorOps.dot(col("a"), col("b")) /
+      (sqrt(VectorOps.dot(col("a"), col("a"))) * sqrt(VectorOps.dot(col("b"), col("b"))))
+    val cosBA = VectorOps.dot(col("b"), col("a")) /
+      (sqrt(VectorOps.dot(col("b"), col("b"))) * sqrt(VectorOps.dot(col("a"), col("a"))))
+    val selfCos = VectorOps.dot(col("a"), col("a")) /
+      (sqrt(VectorOps.dot(col("a"), col("a"))) * sqrt(VectorOps.dot(col("a"), col("a"))))
+    val rows = vecs.select(cos.as("ab"), cosBA.as("ba"), selfCos.as("self")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "symmetry (same multiply order per side)")
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-12, "Cauchy-Schwarz")
+      assert(math.abs(r.getDouble(2) - 1.0) <= 1e-12, "self-cosine 1")
+    }
+  }
+
+  test("DotProduct codegen agrees with interpreted eval bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1 to 100).map { _ =>
+      ((0 until 64).map(_ => rnd.nextDouble() * 2 - 1).toArray,
+        (0 until 64).map(_ => rnd.nextDouble() * 2 - 1).toArray)
+    }
+    // Codegen path: whole-stage codegen over a DataFrame.
+    val fromCodegen = vecs.toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    // Interpreted path: direct expression eval on literals.
+    val fromEval = vecs.map { case (a, b) =>
+      DotProduct(
+        Literal.create(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+        Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
+        .eval(null).asInstanceOf[Double]
+    }
+    fromCodegen.zip(fromEval).foreach { case (c, e) =>
+      assert(java.lang.Double.doubleToLongBits(c) == java.lang.Double.doubleToLongBits(e))
+    }
+  }
+
+  test("window ranks: rank <= row_number, dense_rank contiguous, all start at 1") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 400).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(20), i.toLong)).toDF("grp", "x", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("x"), col("id"))
+    val rows = data.select(col("grp"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("drk"),
+      row_number().over(w).as("rn"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) <= r.getInt(3), "rank <= row_number")
+      assert(r.getInt(2) <= r.getInt(1), "dense_rank <= rank")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val denseRanks = g.map(_.getInt(2)).distinct.sorted.toSeq
+      assert(denseRanks == (1 to denseRanks.max).toSeq, "dense ranks contiguous from 1")
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to g.size).toSeq, "row_numbers are 1..n")
+    }
+  }
+}
