@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Quality bound for the IVF ANN scale path: its top-3 must overlap the
+  * exact brute-force top-3 well enough to be useful. Determinism is already
+  * hash-checked by the oracle; this measures the APPROXIMATION quality the
+  * oracle can't express — recall@3 against exact k-NN over the same probes.
+  *
+  * The corpus is near-random 64-d vectors (ANN-hostile: no cluster
+  * structure for the quantizer to exploit), so the floor is set from
+  * measurement with margin, not from IVF's behavior on real embeddings —
+  * the test's job is to catch regressions in the candidate-generation
+  * logic, which would crater recall toward the random-scan baseline
+  * (nprobe/ncells ≈ 50%).
+  */
+class AnnRecallSpec extends GraftSpec {
+
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
+    test(s"llm_ann_ivf recall@3 vs exact k-NN at $sf") {
+      val ann = SparkEntry.queries("llm_ann_ivf")(spark, sf)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val probe = e.where(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val base = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))
+      val exact = probe.join(base, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          VectorOps.dot(col("qv"), col("nv")).as("dot"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 3)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val hits = exact.map { case (q, truth) =>
+        (ann.getOrElse(q, Set.empty) & truth).size
+      }.sum
+      val total = exact.values.map(_.size).sum
+      val recall = hits.toDouble / total
+      info(f"recall@3 = $recall%.3f ($hits/$total) at $sf")
+      // Random-candidate baseline is ~nprobe/ncells ≈ 0.5 on this corpus;
+      // measured IVF recall is comfortably above it. Floor = regression
+      // guard, not a claim about ANN quality on structured embeddings.
+      assert(recall >= 0.55, f"recall@3 $recall%.3f below regression floor")
+    }
+  }
+}
