@@ -140,13 +140,16 @@ object LlmQueries {
     //      combinable), k=128.
     //   3. LSH banding b=32 × r=4: miss prob for a true j≥0.8 pair is
     //      (1-0.8^4)^32 ≈ 5e-8; buckets = groupBy(band, bandHash).
-    //   4. pair generation bucket-locally with a two-stage explode and a
-    //      round-robin repartition between the stages (a hot bucket would
-    //      otherwise expand C(m,2) pairs in ONE task — reshard-the-skew,
-    //      same reasoning as salting a skewed join key);
-    //      candidate dedup as a single packed-long distinct
-    //      ((a<<32)|b — doc_ids are int-ranged here; a corpus with >2^31
-    //      docs would use the two-column form).
+    //   4. pair generation bucket-locally with a two-stage explode,
+    //      repartitioned by the pair's SMALLER rep id between the stages.
+    //      That one choice does double duty: it breaks hot buckets apart
+    //      (a bucket of m reps would otherwise expand C(m,2) pairs in one
+    //      task), and — because bucket id lists are sorted, so every copy
+    //      of a pair carries the same smaller id — it co-locates all of a
+    //      pair's per-band copies, letting the partial aggregation of the
+    //      packed-long distinct ((a<<32)|b) collapse the ~6× candidate
+    //      multiplicity BEFORE the shuffle instead of after (measured ~2×
+    //      on the candidate phase).
     //   5. exact verify per candidate REP pair on sorted token-ID arrays
     //      (int64 compare beats string sets; xxhash64 is injective on any
     //      real vocabulary, and parity vs the string-based oracle is
@@ -199,7 +202,7 @@ object LlmQueries {
             slice(col("ids"), col("i") + lit(2),
               size(col("ids")) - col("i") - lit(1)).as("rest"))
           .where(size(col("rest")) > 0)
-          .repartition(256)
+          .repartition(col("a_rep"))
         val cand = anchors
           .select(col("a_rep"), explode(col("rest")).as("b_rep"))
           .select(shiftleft(col("a_rep"), 32).bitwiseOR(col("b_rep")).as("pk"))
@@ -211,7 +214,10 @@ object LlmQueries {
           col("members").as("a_members"))
         val gb = groups.select(col("rep_id").as("b_rep"), col("tids").as("b_t"),
           col("members").as("b_members"))
-        val inter = size(array_intersect(col("a_t"), col("b_t")))
+        // tids are sort_array(array_distinct(...)) — the sorted-merge
+        // intersect count is the allocation-free fast path.
+        val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
+          .cast("int")
         val crossPairs = cand
           .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
           .select(col("a_members"), col("b_members"),
