@@ -1,0 +1,98 @@
+package graft
+
+/** Physical-plan pins: the 100 TB-shaped claims in query comments, made
+  * executable. The round-2 verdict's central finding was plans drifting
+  * from their design comments (a fact table silently broadcast, an SMJ
+  * claim executing as BHJ); this suite fails the build when the executed
+  * plan stops being the claimed plan.
+  *
+  * Assertions run on sf0.01 with the harness config (the driver's shape);
+  * they check STRUCTURE (operator presence/absence), never timings.
+  */
+class PlanAuditSpec extends GraftSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestEnv.Sf001)
+      .queryExecution.executedPlan.toString
+
+  private def assertHas(name: String, needle: String): Unit = {
+    val p = plan(name)
+    assert(p.contains(needle), s"$name: expected $needle in plan:\n${p.take(2000)}")
+  }
+
+  private def assertNot(name: String, needle: String): Unit = {
+    val p = plan(name)
+    assert(!p.contains(needle), s"$name: must NOT contain $needle:\n${p.take(2000)}")
+  }
+
+  test("no query plans a CartesianProduct except the declared bounded cross join") {
+    for (q <- SparkEntry.all.map(_.name)
+         if q != "join_cross" && !q.startsWith("stream_")) {
+      assertNot(q, "CartesianProduct")
+    }
+  }
+
+  test("join_shuffle_inner executes as the pinned sort-merge join") {
+    assertHas("join_shuffle_inner", "SortMergeJoin")
+  }
+
+  test("join_multiway_q5 keeps fact-to-fact joins sort-merge (no fact broadcast)") {
+    assertHas("join_multiway_q5", "SortMergeJoin")
+  }
+
+  test("join_theta_range keeps its equi-key SMJ with the range as post-filter") {
+    assertHas("join_theta_range", "SortMergeJoin")
+    assertNot("join_theta_range", "BroadcastNestedLoopJoin")
+  }
+
+  test("join_broadcast_inner broadcasts the dimension side") {
+    assertHas("join_broadcast_inner", "BroadcastHashJoin")
+  }
+
+  test("topk_limit plans as TakeOrderedAndProject (no global sort)") {
+    assertHas("topk_limit", "TakeOrderedAndProject")
+  }
+
+  test("scan_project_filter pushes predicates and prunes columns at the parquet scan") {
+    val p = plan("scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: ["),
+      "expected pushed filters")
+    assert(!p.contains("l_comment"), "pruned column must not be read")
+    // 5 projected columns only
+    assert("ReadSchema: [^\\n]*l_orderkey".r.findFirstIn(p).isDefined)
+  }
+
+  test("stream_static_join broadcasts the static dimension") {
+    // Static side is wrapped in broadcast() in StreamOps.staticEnrich; the
+    // batch plan of the same transform must show it.
+    val df = graft.streaming.StreamOps.staticEnrich(
+      Tables.events(spark, TestEnv.Sf001), Tables.customer(spark, TestEnv.Sf001))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast enrich:\n${p.take(1500)}")
+  }
+
+  test("llm_dedup_exact is a single hash-shuffle aggregation (partial + final)") {
+    val p = plan("llm_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg expected")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "dedup must not join")
+  }
+
+  test("llm_ann_ivf broadcasts centroids and vector attachments") {
+    val p = plan("llm_ann_ivf")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "centroids (x2 uses) and vector attachments must broadcast")
+  }
+
+  test("llm_sim_cosine_topk ends in per-partition top-k, not a global sort of all pairs") {
+    assertHas("llm_sim_cosine_topk", "TakeOrderedAndProject")
+  }
+
+  test("window queries partition by their keys (no single-partition global windows)") {
+    for (q <- Seq("win_rank", "win_lag_lead", "win_frame_rows", "win_topn_group")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must not collapse to a single partition:\n${p.take(1200)}")
+    }
+  }
+}
