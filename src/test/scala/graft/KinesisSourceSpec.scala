@@ -258,6 +258,32 @@ class KinesisSourceSpec extends GraftSpec {
     assert(typed.columns.contains("tag") && typed.columns.contains("sequenceNumber"))
   }
 
+  test("payload decode: Payload.csv parses headerless CSV payloads") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1",
+      (1 to 4).map(i => (s"pk$i", s"$i,name$i,${i * 1.5}".getBytes(UTF_8))))
+    val raw = readAvailable(id, "s1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val typed = Payload.csv(raw, schema).orderBy(col("id"))
+    val rows = typed.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("name")).toSeq == (1 to 4).map(i => s"name$i"))
+    assert(rows.last.getAs[Double]("score") == 6.0)
+  }
+
+  test("payload decode: Payload.utf8 exposes text with metadata intact") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1", Seq(("k", "héllo wörld".getBytes(UTF_8))))
+    val out = Payload.utf8(readAvailable(id, "s1")).collect().head
+    assert(out.getAs[String]("text") == "héllo wörld")
+    assert(out.getAs[String]("sequenceNumber").nonEmpty)
+  }
+
   test("sink: writeStream format kinesis delivers all rows via PutRecords") {
     val (id, svc) = freshFake()
     svc.createStream("out", 2)
