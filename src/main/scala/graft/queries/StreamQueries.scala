@@ -70,6 +70,40 @@ object StreamQueries {
                  <= (SELECT max(ts) - INTERVAL 2 HOURS FROM events)
         ORDER BY ws, event_type""")),
 
+    // S3: session windows (30-min gap per user), append mode. Sessions
+    // only emit once the watermark passes their close, and end-of-input
+    // never advances the watermark on its own — so the stream is the real
+    // events UNIONED with one far-future sentinel event whose sole job is
+    // the final watermark push (its own open session is withheld and
+    // filtered). The oracle is the classic gaps-and-islands rewrite; the
+    // break condition is `gap >= 30 min` to mirror session_window's
+    // half-open [start, last+gap) merge rule exactly.
+    Q(
+      "stream_session",
+      (s, d) => {
+        val withSentinel = EventStream.readEventsWithSentinel(s, d)
+        EventStream.runAvailableNow(s, "stream_session",
+          StreamOps.sessions(withSentinel), "append")
+          .where(col("user_id") =!= -1L)
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS brk
+          FROM events),
+        g AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+        SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
     // S5: streaming dedup on (user_id, event_type) within the watermark;
     // only the key columns are emitted so kept-row arrival order can't
     // make the result nondeterministic.

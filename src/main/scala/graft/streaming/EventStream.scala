@@ -37,12 +37,36 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Glob, not bare file: FileStreamSource requires a directory basePath;
+    // the pattern keeps discovery scoped to the events table only.
+    readEventsGlob(spark, s"$dir/events.parque*")
+  }
+
+  private def readEventsGlob(spark: SparkSession, glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      // Glob, not bare file: FileStreamSource requires a directory basePath;
-      // the pattern keeps discovery scoped to the events table only.
-      .parquet(s"$dir/events.parque*")
+      .parquet(glob)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** `readEvents` unioned with a single far-future sentinel event (year
+    * 2100, user_id −1) staged as a second file source. Purpose: in append
+    * mode, session/window state only flushes when the watermark passes it;
+    * end-of-input alone never advances the watermark past the last real
+    * session. The sentinel is that final watermark push — its own state
+    * row stays open and is withheld, so with a `user_id != -1` guard the
+    * emitted rows are exactly the finalized sessions of the real data.
+    */
+  def readEventsWithSentinel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_sentinel")
+    val sentinelNs = 4102444800000000000L // 2100-01-01T00:00:00Z in ns
+    import scala.jdk.CollectionConverters._
+    val row = org.apache.spark.sql.Row(-1L, sentinelNs, -1L, "sentinel", 0.0, "{}")
+    spark.createDataFrame(Seq(row).asJava, rawSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/sentinel")
+    readEventsGlob(spark, s"$dir/events.parque*")
+      .unionAll(readEventsGlob(spark, tmp.toString + "/sentinel"))
   }
 
   /** Run a streaming DataFrame to completion under Trigger.AvailableNow
