@@ -101,18 +101,24 @@ final class KinesisMicroBatchStream(
     maxRows match {
       case None => KinesisOffset(tip)
       case Some(budget) =>
-        val pending = tip.filter { case (k, until) =>
-          until > startMap.getOrElse(k, until)
-        }
+        // Shards missing from `start` are reshard children born mid-run:
+        // they enter the budget at their own first sequence, not the tip —
+        // otherwise a split during a rate-limited drain would blow the
+        // per-trigger cap on its first batch.
+        lazy val births: Map[ShardKey, Long] = allShards().map { case (s, sh) =>
+          ShardKey(s, sh.shardId) -> sh.starting
+        }.toMap
+        def fromOf(k: ShardKey, until: Long): Long =
+          startMap.getOrElse(k, births.getOrElse(k, until))
+        val pending = tip.filter { case (k, until) => until > fromOf(k, until) }
         if (pending.isEmpty) KinesisOffset(tip)
         else {
           val perShard = math.max(1L, budget / pending.size).toInt
           val advanced = tip.map { case (k, until) =>
-            startMap.get(k).filter(_ < until) match {
-              case Some(from) =>
-                k -> client.advanceBy(k.stream, k.shardId, from, until, perShard)
-              case None => k -> until
-            }
+            val from = fromOf(k, until)
+            if (from < until)
+              k -> client.advanceBy(k.stream, k.shardId, from, until, perShard)
+            else k -> until
           }
           KinesisOffset(advanced)
         }

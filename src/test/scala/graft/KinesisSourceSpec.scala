@@ -258,6 +258,37 @@ class KinesisSourceSpec extends GraftSpec {
     assert(typed.columns.contains("tag") && typed.columns.contains("sequenceNumber"))
   }
 
+  test("admission control across a reshard: child shards enter the budget at their birth") {
+    val (id, svc) = freshFake()
+    svc.createStream("s1", 1)
+    svc.putRecords("s1", (1 to 40).map(i => (s"k$i", s"pre$i".getBytes(UTF_8))))
+    svc.splitShard("s1", svc.listShards("s1").head.shardId)
+    svc.putRecords("s1", (1 to 40).map(i => (s"k$i", s"post$i".getBytes(UTF_8))))
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("kinesis")
+      .option("streams", "s1")
+      .option("initialPosition", "trim_horizon")
+      .option("maxRecordsPerTrigger", "20")
+      .option("fake.id", id)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_ac2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val sizes = scala.jdk.CollectionConverters.CollectionHasAsScala(batchSizes)
+      .asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 80, s"exactly-once across reshard + rate limit, got $sizes")
+    // budget 20 split across ≤3 pending shards, +1 rounding each
+    assert(sizes.forall(_ <= 23), s"per-batch cap violated across reshard: $sizes")
+    assert(sizes.size >= 4, s"80 records under budget 20 need several batches: $sizes")
+  }
+
   test("payload decode: Payload.csv parses headerless CSV payloads") {
     val (id, svc) = freshFake()
     svc.createStream("s1", 1)
