@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling probe: runs the REAL declared queries on a base scale and on an
+  * N×-larger staged copy of the same data (tools/make_sf1.py — key-shifted
+  * unions, joins stay consistent), and reports wall-clock scaling ratios.
+  * A linear-shaped operator on fixed cores should scale ≈ N× or better
+  * (fixed overheads amortize); a super-linear ratio is a red flag that the
+  * plan would not survive a real scale-up.
+  *
+  * The all-pairs similarity rows (jaccard/simhash/shingle bounded probes,
+  * cosine/minhash full-corpus) are excluded by design: their probe sets
+  * are constant-bounded (ratio ≈ 1, uninformative) or their OUTPUT grows
+  * quadratically on this near-dup-dense corpus (answer-bound, measured in
+  * LlmQueries), so wall-ratio says nothing about plan quality.
+  *
+  * Usage: ScaleProbe <baseDir> <scaledDir> <factor>
+  */
+object ScaleProbe {
+
+  private val Probes = Seq(
+    "scan_project_filter", "scan_events_ns", "filter_complex",
+    "agg_pricing_q1", "agg_distinct", "agg_percentile", "agg_grouping_sets",
+    "join_shuffle_inner", "join_multiway_q5", "join_asof",
+    "win_rank", "win_topn_group", "sort_multi_nulls", "topk_limit",
+    "set_intersect", "subq_scalar_corr",
+    "llm_dedup_exact", "llm_dedup_norm", "llm_text_stats", "llm_lang_pivot",
+    "llm_quality_score", "llm_fingerprint", "llm_lang_id",
+    "llm_knn_per_vector", "llm_ann_ivf",
+    "fn_json",
+    "stream_tumbling", "stream_dedup", "stream_funnel")
+
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, bigDir, factorStr) = args.take(3)
+    val factor = factorStr.toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Warm the JVM/codegen on both directories before measuring.
+    run("agg_pricing_q1", baseDir); run("agg_pricing_q1", bigDir)
+
+    var logs = List.empty[Double]
+    println(f"${"query"}%-22s ${"base_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  (factor $factor%.0f×)")
+    Probes.foreach { q =>
+      val small = run(q, baseDir)
+      val big = run(q, bigDir)
+      val ratio = big / small
+      logs ::= math.log(ratio)
+      val flag = if (ratio > factor * 1.5) "  <-- SUPER-LINEAR" else ""
+      println(f"$q%-22s $small%8.2f $big%8.2f $ratio%7.2f$flag")
+    }
+    val geo = math.exp(logs.sum / logs.size)
+    println(f"geomean ratio = $geo%.2f over ${Probes.size} queries at $factor%.0f× data")
+    spark.stop()
+  }
+}
