@@ -214,6 +214,43 @@ object TextQueries {
         FROM p GROUP BY lang, pred
         ORDER BY lang, pred""")),
 
+    // H (multimodal): opaque-binary metadata extraction — the declared row
+    // for the Multimodal plumbing (format sniff / byte stats / checksums
+    // over BINARY payloads). Text bytes stand in for media payloads so the
+    // row is oracle-able: UTF-8 encode on both engines, byte length, hex
+    // prefix (uppercase hex on both), magic-byte format CASE mirrored
+    // verbatim, md5 content fingerprint.
+    Q(
+      "llm_multimodal_meta",
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            length(bin).as("n_bytes"),
+            substring(hex(bin), 1, 16).as("prefix_hex"),
+            graft.operators.Multimodal.sniffFormat(bin).as("format"),
+            md5(bin).as("fp_md5"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT doc_id, text, encode(text) AS bin, hex(encode(text)) AS h
+          FROM documents)
+        SELECT doc_id,
+               octet_length(bin) AS n_bytes,
+               substr(h, 1, 16) AS prefix_hex,
+               CASE WHEN substr(h, 1, 8) = '89504E47' THEN 'png'
+                    WHEN substr(h, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                    WHEN substr(h, 1, 8) = '47494638' THEN 'gif'
+                    WHEN substr(h, 1, 8) = '52494646' THEN 'riff'
+                    WHEN substr(h, 1, 8) = '664C6143' THEN 'flac'
+                    WHEN substr(h, 1, 8) = '1A45DFA3' THEN 'matroska'
+                    ELSE 'unknown' END AS format,
+               md5(text) AS fp_md5
+        FROM b
+        ORDER BY doc_id""")),
+
     // H: winnowing-style document fingerprint — min-md5 over 4-token
     // shingles (the classic rolling-window fingerprint with md5 standing
     // in for the rolling hash: both engines share md5 exactly, and min of
