@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, SortedLongIntersectCount}
+
+/** SparkSessionExtensions entry point (the brief's sanctioned registration
+  * path for custom Catalyst work): makes the native expressions callable
+  * from SQL, so `spark.sql("SELECT graft_dot(a, b) ...")` works anywhere
+  * the Scala `VectorOps` API does.
+  *
+  * Wire it with
+  *   spark.sql.extensions=graft.GraftExtensions
+  * or programmatically via `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`. Registration is idempotent per session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_sorted_intersect_count(sortedArrayA, sortedArrayB)")
+        SortedLongIntersectCount(children.head, children(1))
+      }))
+  }
+}
