@@ -214,6 +214,45 @@ object TextQueries {
         FROM p GROUP BY lang, pred
         ORDER BY lang, pred""")),
 
+    // H: TRUE winnowing — the min-md5 of every w=8 sliding window over the
+    // positional 4-token shingle hash sequence, deduplicated into the
+    // document's fingerprint SET (robust to local edits: an edit only
+    // perturbs the windows it touches, unlike llm_fingerprint's single
+    // global min). Output: set size + an order-independent set digest.
+    Q(
+      "llm_fingerprint_winnow",
+      (s, d) => {
+        val shingles = expr("transform(sequence(1, size(toks) - 3), " +
+          "i -> md5(array_join(slice(toks, i, 4), ' ')))")
+        Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 11) // ≥ 8 windows of 4-shingles
+          .select(col("doc_id"), shingles.as("hs"))
+          .select(col("doc_id"),
+            array_distinct(expr("transform(sequence(1, size(hs) - 7), " +
+              "i -> array_min(slice(hs, i, 8)))")).as("fps"))
+          .select(col("doc_id"),
+            size(col("fps")).as("n_winnow"),
+            md5(array_join(sort_array(col("fps")), "")).as("winnow_digest"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks) - 2),
+                   i -> md5(array_to_string(toks[i:i+3], ' '))) AS hs
+          FROM t WHERE len(toks) >= 11),
+        w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(hs) - 6),
+                   i -> list_aggregate(hs[i:i+7], 'min'))) AS fps
+          FROM h)
+        SELECT doc_id, len(fps) AS n_winnow,
+               md5(array_to_string(list_sort(fps), '')) AS winnow_digest
+        FROM w
+        ORDER BY doc_id""")),
+
     // H (multimodal): opaque-binary metadata extraction — the declared row
     // for the Multimodal plumbing (format sniff / byte stats / checksums
     // over BINARY payloads). Text bytes stand in for media payloads so the
