@@ -169,7 +169,11 @@ object LlmQueries {
           .select(col("doc_id"),
             sort_array(array_distinct(
               transform(toks(col("text")), t => xxhash64(t)))).as("tids"))
-        // 1. identical-token-set groups → representative + members
+        // 1. identical-token-set groups → representative + members.
+        // persist(): consumed four times below (sigs, both verify sides,
+        // intra-pairs); repeated invocations do NOT stack cache entries —
+        // Spark's CacheManager dedupes by logical plan, so the same
+        // (corpus, dir) reuses one small entry (~1 row per distinct set).
         val groups = docs
           .groupBy(col("tids"))
           .agg(min(col("doc_id")).as("rep_id"),

@@ -12,9 +12,10 @@ import graft.streaming.{EventStream, StreamOps}
   * us go beyond the SURVEY's "no oracle" plan and hash-verify the streaming
   * surface against DuckDB like any batch row.
   *
-  * S3 (session windows) stays test-only: sessions still open at end-of-input
-  * are withheld under append mode, so its AvailableNow output is a strict
-  * subset of the batch answer (see StreamingEquivalenceSpec).
+  * S3 (session windows) is declared too: sessions still open at
+  * end-of-input would be withheld under append mode, so its stream unions
+  * a far-future sentinel event whose only job is the final watermark push
+  * (see `stream_session` below). S9 (foreachBatch) is a sink — test-only.
   */
 object StreamQueries {
 

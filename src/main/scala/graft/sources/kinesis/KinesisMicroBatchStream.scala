@@ -86,11 +86,18 @@ final class KinesisMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[KinesisOffset].shardOffsets
     val liveTip = latestOffset().asInstanceOf[KinesisOffset].shardOffsets
-    // Under AvailableNow, never plan past the prepared snapshot.
+    // Under AvailableNow, never plan past the prepared snapshot. Shards
+    // absent from the snapshot were born AFTER prepare (every shard alive
+    // at prepare time is in it), so all their records are post-snapshot:
+    // cap them at their own starting sequence — they drain next run.
     val tip = availableNowTip match {
-      case Some(snap) => liveTip.map { case (k, v) =>
-        k -> math.min(v, snap.getOrElse(k, v))
-      }
+      case Some(snap) =>
+        lazy val starts: Map[ShardKey, Long] = allShards().map { case (s, sh) =>
+          ShardKey(s, sh.shardId) -> sh.starting
+        }.toMap
+        liveTip.map { case (k, v) =>
+          k -> math.min(v, snap.getOrElse(k, starts.getOrElse(k, v)))
+        }
       case None => liveTip
     }
     val maxRows = limit match {
@@ -113,7 +120,10 @@ final class KinesisMicroBatchStream(
         val pending = tip.filter { case (k, until) => until > fromOf(k, until) }
         if (pending.isEmpty) KinesisOffset(tip)
         else {
-          val perShard = math.max(1L, budget / pending.size).toInt
+          // Clamp to Int.MaxValue: a huge budget must saturate, not wrap
+          // negative through toInt.
+          val perShard =
+            math.min(math.max(1L, budget / pending.size), Int.MaxValue.toLong).toInt
           val advanced = tip.map { case (k, until) =>
             val from = fromOf(k, until)
             if (from < until)

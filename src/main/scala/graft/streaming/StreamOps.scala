@@ -44,9 +44,10 @@ object StreamOps {
   /** S3 — session windows per user, 30-minute gap. Streaming session
     * aggregation requires a watermark; the 0-second delay makes the final
     * no-data batch flush every session whose close precedes the max event
-    * time (test-only promotion rule: sessions still open at end-of-input are
-    * withheld in append mode, so this is NOT a `queries` entry — see
-    * StreamingEquivalenceSpec for how the sentinel flushes them).
+    * time. Sessions still open at end-of-input are withheld in append
+    * mode — the declared `stream_session` query closes them with a
+    * far-future sentinel event (EventStream.readEventsWithSentinel), and
+    * StreamingEquivalenceSpec pins the flush/withhold policy directly.
     */
   def sessions(events: DataFrame): DataFrame =
     events
@@ -130,9 +131,13 @@ object StreamOps {
     * one row per user for the FIRST purchase at-or-after their FIRST signup.
     * State is two longs per user — bounded regardless of event volume.
     * Events within a batch arrive unordered; the function sorts its group
-    * slice, which combined with min-signup/min-purchase semantics makes the
-    * result independent of micro-batch boundaries (verified by the
-    * multi-batch equivalence test).
+    * slice, so the result is independent of micro-batch boundaries for
+    * event-time-ordered arrival (the multi-batch test pins this). KNOWN
+    * SCOPE LIMIT: a purchase that arrives in an EARLIER batch than a
+    * same-user signup with a smaller event time is not buffered (bounded
+    * state by design), so heavily out-of-order cross-batch data diverges
+    * from the batch answer — a production deployment bounds that window
+    * with a watermark-sized event buffer in state.
     */
   def funnel(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -158,7 +163,11 @@ object StreamOps {
       rows: Iterator[FunnelEvent],
       state: GroupState[FunnelState]): Iterator[Conversion] = {
     if (state.exists && state.get.converted) return Iterator.empty
-    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+    // Tie-break: a signup and purchase at the SAME timestamp must convert
+    // (the oracle's `purchase.ts >= signup.ts` is inclusive), so signups
+    // sort before purchases at equal ts.
+    val sorted = rows.toSeq.sortBy(e =>
+      (e.ts_us, if (e.event_type == "signup") 0 else 1))
     var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, converted = false))
     var out: Option[Conversion] = None
     sorted.foreach { e =>

@@ -28,9 +28,16 @@ class ExtensionsSpec extends GraftSpec {
       assert(dot == 32.0)
 
       val ic = s2.sql(
-        "SELECT graft_sorted_intersect_count(array(1L, 3L, 5L, 7L), array(3L, 4L, 5L)) AS c")
+        "SELECT graft_intersect_count(array(1L, 3L, 5L, 7L), array(3L, 4L, 5L)) AS c")
         .collect().head.getLong(0)
       assert(ic == 2L)
+
+      // The SQL form normalizes unsorted/duplicated inputs before the
+      // merge scan — arbitrary SQL input must not be silently miscounted.
+      val unsorted = s2.sql(
+        "SELECT graft_intersect_count(array(5L, 1L, 3L, 3L), array(1L, 3L, 5L)) AS c")
+        .collect().head.getLong(0)
+      assert(unsorted == 3L)
     } finally {
       SparkSession.setActiveSession(original)
       SparkSession.setDefaultSession(original)

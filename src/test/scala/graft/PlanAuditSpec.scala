@@ -6,13 +6,15 @@ package graft
   * claim executing as BHJ); this suite fails the build when the executed
   * plan stops being the claimed plan.
   *
-  * Assertions run on sf0.01 with the harness config (the driver's shape);
-  * they check STRUCTURE (operator presence/absence), never timings.
+  * Assertions plan (without executing) on sf0.01 — the driver's gate scale,
+  * so a size-threshold-dependent strategy flip between sf0.001 and sf0.01
+  * cannot slip past the pins; they check STRUCTURE (operator
+  * presence/absence), never timings.
   */
 class PlanAuditSpec extends GraftSpec {
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, TestEnv.Sf001)
+    SparkEntry.queries(name)(spark, TestEnv.Sf01)
       .queryExecution.executedPlan.toString
 
   private def assertHas(name: String, needle: String): Unit = {
@@ -66,7 +68,7 @@ class PlanAuditSpec extends GraftSpec {
     // Static side is wrapped in broadcast() in StreamOps.staticEnrich; the
     // batch plan of the same transform must show it.
     val df = graft.streaming.StreamOps.staticEnrich(
-      Tables.events(spark, TestEnv.Sf001), Tables.customer(spark, TestEnv.Sf001))
+      Tables.events(spark, TestEnv.Sf01), Tables.customer(spark, TestEnv.Sf01))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast enrich:\n${p.take(1500)}")
   }

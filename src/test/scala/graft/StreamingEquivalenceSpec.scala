@@ -191,6 +191,15 @@ class StreamingEquivalenceSpec extends GraftSpec {
       "must convert on the FIRST purchase after signup")
   }
 
+  test("S8 policy: a purchase at the exact signup timestamp converts (inclusive tie)") {
+    // Oracle semantics: purchase.ts >= signup.ts. Same-microsecond events
+    // must therefore convert; the group sort breaks the tie signup-first.
+    val batch = Seq(ev(1, T0, 5, "signup"), ev(2, T0, 5, "purchase"))
+    val out = runBatches(StreamOps.funnel, "append", batch).collect()
+    assert(out.length == 1, "same-timestamp signup+purchase must convert")
+    assert(out.head.getAs[Timestamp]("purchase_ts").getTime == T0 * 1000L)
+  }
+
   test("S9 foreachBatch parquet sink: all input rows land in per-batch dirs") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_s9").toString
     val q = StreamOps.foreachBatchParquet(EventStream.readEvents(spark, sf), outDir)
