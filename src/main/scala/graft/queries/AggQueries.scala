@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.Tables.dec
 
 /** SURVEY §2.2 D — aggregation operators.
   *
@@ -18,7 +18,6 @@ import graft.{Q, Tables}
   * magnitudes in this data are ≪ 2^53, so the cast is value-exact.
   */
 object AggQueries {
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   val defs: Seq[Q] = Seq(
     Q(
@@ -146,14 +145,18 @@ object AggQueries {
           .withColumn("nd", col("n_rows").cast("double"))
           .withColumn(
             "stddev_qty",
-            sqrt((col("nd") * col("sum_qty_sq") - col("sum_qty") * col("sum_qty"))
+            // greatest(0, ·): the exact-sums numerator can round to a tiny
+            // negative double for constant groups; Spark sqrt(neg) is NaN
+            // but DuckDB sqrt(neg) is a hard error — clamp on BOTH sides.
+            sqrt(greatest(lit(0.0),
+              col("nd") * col("sum_qty_sq") - col("sum_qty") * col("sum_qty"))
               / (col("nd") * (col("nd") - lit(1.0)))))
           .drop("nd", "sum_qty_sq")
           .orderBy(col("l_returnflag"))
       },
       oracle = Some("""
         SELECT l_returnflag, min_qty, max_qty, n_rows, sum_qty,
-               sqrt((nd * sum_qty_sq - sum_qty * sum_qty) / (nd * (nd - 1.0))) AS stddev_qty
+               sqrt(greatest(0.0, nd * sum_qty_sq - sum_qty * sum_qty) / (nd * (nd - 1.0))) AS stddev_qty
         FROM (
           SELECT l_returnflag,
                  min(l_quantity) AS min_qty,
@@ -249,8 +252,10 @@ object AggQueries {
       s"CASE WHEN fr$tag = 0 THEN lo$tag ELSE lo$tag + (hi$tag - lo$tag) * fr$tag END"
     s"""
       WITH counts AS (
+        -- NULLs excluded explicitly: DuckDB quantile_cont ignores them,
+        -- while an unfiltered window here would count them into n/cum.
         SELECT l_returnflag AS f, l_quantity AS x, count(*) AS c
-        FROM lineitem_pct GROUP BY 1, 2),
+        FROM lineitem_pct WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
       ranked AS (
         SELECT f, x,
                sum(c) OVER (PARTITION BY f ORDER BY x) AS cum,

@@ -166,8 +166,12 @@ object FnQueries {
           .select(
             col("c_custkey"),
             abs(col("c_acctbal")).as("ab"),
-            ceil(col("c_acctbal")).cast("double").as("ce"),
-            floor(col("c_acctbal")).cast("double").as("fl"),
+            // `+ 0.0` normalizes IEEE -0.0 → 0.0: Spark ceil(double) yields
+            // BIGINT (never -0.0) but DuckDB ceil keeps DOUBLE and returns
+            // -0.0 for inputs in (-1,0), which the driver-strict compare
+            // distinguishes. Same on the oracle side.
+            (ceil(col("c_acctbal")).cast("double") + lit(0.0)).as("ce"),
+            (floor(col("c_acctbal")).cast("double") + lit(0.0)).as("fl"),
             pmod(col("c_custkey"), lit(7)).cast("bigint").as("md"),
             (col("c_acctbal") * col("c_acctbal")).as("sq"),
             sqrt(abs(col("c_acctbal"))).as("rt"),
@@ -180,8 +184,8 @@ object FnQueries {
       oracle = Some("""
         SELECT c_custkey,
                abs(c_acctbal) AS ab,
-               CAST(ceil(c_acctbal) AS DOUBLE) AS ce,
-               CAST(floor(c_acctbal) AS DOUBLE) AS fl,
+               CAST(ceil(c_acctbal) AS DOUBLE) + 0.0 AS ce,
+               CAST(floor(c_acctbal) AS DOUBLE) + 0.0 AS fl,
                CAST(c_custkey % 7 AS BIGINT) AS md,
                c_acctbal * c_acctbal AS sq,
                sqrt(abs(c_acctbal)) AS rt,

@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.Tables.dec
 
 /** SURVEY §2.2 C — join operators.
   *
@@ -16,7 +16,6 @@ import graft.{Q, Tables}
   * single shuffle by user — the canonical distributed as-of plan.
   */
 object JoinQueries {
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
   private def revenue =
     sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)"))
       .cast("double")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.Tables.dec
 
 /** SURVEY §2.2 E — window functions.
   *
@@ -13,7 +14,6 @@ import graft.{Q, Tables}
   * Ordering keys always end in a unique column (R1 determinism).
   */
 object WindowQueries {
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   val defs: Seq[Q] = Seq(
     Q(
