@@ -13,15 +13,16 @@ import graft.functions.VectorOps
   *   - llm_neardup_cosine: embedding-space near-dup pairs (cosine ≥ τ) —
   *     the vector twin of the Jaccard text rows;
   *   - llm_ann_ivf: IVF-style approximate nearest neighbour — deterministic
-  *     coarse quantizer (every 127th vector is a centroid), residency
-  *     assignment by max dot, nprobe=2 probing, exact re-rank within the
-  *     probed cells. Every step is deterministic dot-product arithmetic, so
-  *     unlike most ANN implementations it IS oracle-able: the DuckDB SQL
-  *     replays the identical quantize→probe→rerank pipeline and the driver
-  *     hash-checks it like any exact query. At 100 TB the same plan shape
-  *     holds: centroids broadcast, assignment is a map-side argmax, cells
-  *     shuffle once on c_id, probes read nprobe/√N of the corpus instead
-  *     of all of it.
+  *     coarse quantizer sized to the corpus (≈√N cells via an N-derived
+  *     stride), residency assignment by max dot, nprobe ≈ ncells/4
+  *     probing, exact re-rank within the probed cells. Every step is
+  *     deterministic dot-product arithmetic, so unlike most ANN
+  *     implementations it IS oracle-able: the DuckDB SQL replays the
+  *     identical quantize→probe→rerank pipeline (same stride/nprobe
+  *     arithmetic from count(*)) and the driver hash-checks it like an
+  *     exact query. At 100 TB the shape holds: centroids broadcast,
+  *     assignment is a map-side argmax in O(N·√N), a probe touches the
+  *     probed fraction of the corpus instead of all of it.
   *
   * All dot products use the native codegen DotProduct expression, whose
   * left-to-right accumulation is bit-identical to DuckDB list_dot_product.
@@ -68,11 +69,25 @@ object VectorQueries {
 
     // H (scale form): IVF approximate NN, deterministic end to end (see
     // file header). Queries = vec_id < 50, k = 3, nprobe = 2.
+    //
+    // Coarse-quantizer sizing: ncells ≈ √N (stride = N/⌈√N⌉), the standard
+    // IVF balance — a FIXED stride makes ncells ∝ N and the assignment
+    // argmax O(N²/stride), which the 30× scaling probe caught as a 41×
+    // wall-ratio. With √N cells, assignment is O(N·√N) and a probe scans
+    // nprobe·N/√N of the corpus. The oracle derives the identical stride
+    // from count(*) so both engines quantize identically at any scale.
     Q(
       "llm_ann_ivf",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = e.where(col("vec_id") % 127 === 0)
+        val n = Tables.embeddings(s, d).count()
+        val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+        // nprobe tracks the cell count (≈ ncells/4, min 2) so the probed
+        // FRACTION of the corpus stays constant as cells grow — recall is
+        // then scale-stable instead of collapsing as 2/ncells.
+        val ncells = (n + stride - 1) / stride
+        val nprobe = math.max(2L, math.ceil(ncells / 4.0).toLong)
+        val cents = e.where(col("vec_id") % stride === 0)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
         // residency: argmax_c dot(v, c) with deterministic c_id tiebreak
         val assignW = Window.partitionBy(col("vec_id"))
@@ -88,7 +103,7 @@ object VectorQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
           .crossJoin(broadcast(cents))
           .withColumn("rn", row_number().over(probeW))
-          .where(col("rn") <= 2)
+          .where(col("rn") <= nprobe)
           .select(col("q_id"), col("c_id"))
         // candidates = residents of probed cells; exact re-rank top-3
         val cand = probes.join(cell, "c_id")
@@ -109,8 +124,20 @@ object VectorQueries {
       oracle = Some("""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s0 AS (
+          -- NB: // is DuckDB integer division; / would be float division
+          SELECT greatest(1, CAST(count(*) AS BIGINT)
+                   // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
+                 count(*) AS n
+          FROM embeddings),
+        s AS (
+          SELECT stride,
+                 greatest(2, CAST(ceil(
+                   ceil(CAST(n AS DOUBLE) / stride) / 4.0) AS BIGINT)) AS nprobe
+          FROM s0),
         c AS (
-          SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 127 = 0),
+          SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % (SELECT stride FROM s) = 0),
         assign AS (
           SELECT e.vec_id, c.c_id,
                  row_number() OVER (PARTITION BY e.vec_id
@@ -122,7 +149,8 @@ object VectorQueries {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
           FROM e CROSS JOIN c WHERE e.vec_id < 50),
-        probes AS (SELECT q_id, c_id FROM probe WHERE rn <= 2),
+        probes AS (SELECT q_id, c_id FROM probe
+                   WHERE rn <= (SELECT nprobe FROM s)),
         cand AS (
           SELECT p.q_id, cl.vec_id AS n_id
           FROM probes p JOIN cell cl ON p.c_id = cl.c_id

@@ -29,6 +29,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Payload stays opaque BINARY `data` (the reference's decoder model);
   * format decoding is a DataFrame-side concern — see
   * [[graft.sources.kinesis.Payload]].
+  *
+  * Reference options intentionally ABSENT because Structured Streaming
+  * supersedes their mechanism (rather than accepting them as silent
+  * no-ops):
+  *   checkpointInterval → the engine's offsetLog/commitLog WAL owns
+  *     progress (per-batch, exactly-once), not a KCL-side timer;
+  *   storageLevel → no receiver, no block storage: readers pull sequence
+  *     ranges on demand and re-pull them on recovery;
+  *   kinesisAppName → lease coordination lived in the KCL/DynamoDB app
+  *     table; the checkpointLocation plays that role here;
+  *   metricsLevel (CloudWatch) → observability flows through Spark's
+  *     streaming progress events/metrics sink instead.
   */
 final class KinesisTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kinesis"
