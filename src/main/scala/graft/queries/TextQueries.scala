@@ -125,6 +125,34 @@ object TextQueries {
         WHERE jac >= 0.3
         ORDER BY a_id, b_id""")),
 
+    // H: token counting two ways — whitespace tokens (the cheap LLM-data
+    // heuristic) and a BPE-ish regex segmentation (`\w+` runs plus single
+    // non-space punctuation, the GPT-2-style pre-tokenizer shape). RE2
+    // (DuckDB) and Java regex agree on these classes; counts only, so the
+    // regex engines' group semantics never matter.
+    Q(
+      "llm_token_count",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toksAll(col("text"))).as("ws_tokens"),
+            size(expr("""regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"""))
+              .as("bpe_tokens"),
+            (col("n_chars").cast("double") /
+              greatest(size(toksAll(col("text"))), lit(1)).cast("double"))
+              .as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               len($toksAllDuck) AS ws_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
+               CAST(n_chars AS DOUBLE)
+                 / CAST(greatest(len($toksAllDuck), 1) AS DOUBLE) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id""")),
+
     // H: per-document quality scoring — token counts, type/token ratio,
     // stopword ratio, mean token length, and a fixed-weight composite.
     // Pure per-row arithmetic (no shuffle at all beyond the scan) with
