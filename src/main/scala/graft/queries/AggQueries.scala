@@ -207,6 +207,88 @@ object AggQueries {
         HAVING count(*) > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
         ORDER BY o_custkey""")),
 
+    // Arg-extremum aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min —
+    // max_by IS the DuckDB alias, used verbatim). Determinism rule: the
+    // ordering argument must be UNIQUE within each group (c_custkey here) —
+    // both engines document tie-breaking as arbitrary, so a non-unique
+    // ordering key is a cross-engine flake by construction.
+    Q(
+      "agg_minmax_by",
+      (s, d) => {
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            max_by(col("c_name"), col("c_custkey")).as("newest_name"),
+            max_by(col("c_acctbal"), col("c_custkey")).as("newest_acctbal"),
+            min_by(col("c_name"), col("c_custkey")).as("oldest_name"),
+            count(lit(1)).as("n_cust"))
+          .orderBy(col("c_nationkey"))
+      },
+      oracle = Some("""
+        SELECT c_nationkey,
+               max_by(c_name, c_custkey) AS newest_name,
+               max_by(c_acctbal, c_custkey) AS newest_acctbal,
+               min_by(c_name, c_custkey) AS oldest_name,
+               count(*) AS n_cust
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    // Sample covariance + Pearson correlation from exact decimal sums (the
+    // agg_stats_exact identity extended to two variables): built-in
+    // covar_samp/corr accumulate in doubles and are order-dependent, so the
+    // cross-engine-exact form derives both from order-independent decimal
+    // Σx, Σy, Σxy, Σx², Σy². Column pair (l_quantity, l_discount) keeps
+    // every scaled sum ≪ 2^53 even at sf10 (l_extendedprice products would
+    // overflow double-exactness at scale). Identical IEEE expression shapes
+    // on both sides; sqrt args clamped at 0 on both (Spark sqrt(neg)=NaN,
+    // DuckDB errors).
+    Q(
+      "agg_corr_cov",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(9,2)")
+        val y = col("l_discount").cast("decimal(4,2)")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .withColumn("nd", col("n_rows").cast("double"))
+          .withColumn("cov_qty_disc",
+            (col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (col("nd") * (col("nd") - lit(1.0))))
+          .withColumn("corr_qty_disc",
+            (col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(greatest(lit(0.0),
+                col("nd") * col("sxx") - col("sx") * col("sx"))) *
+                sqrt(greatest(lit(0.0),
+                  col("nd") * col("syy") - col("sy") * col("sy")))))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("cov_qty_disc"), col("corr_qty_disc"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, n_rows,
+               (nd * sxy - sx * sy) / (nd * (nd - 1.0)) AS cov_qty_disc,
+               (nd * sxy - sx * sy)
+                 / (sqrt(greatest(0.0, nd * sxx - sx * sx))
+                    * sqrt(greatest(0.0, nd * syy - sy * sy))) AS corr_qty_disc
+        FROM (
+          SELECT l_returnflag,
+                 count(*) AS n_rows,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+                 CAST(count(*) AS DOUBLE) AS nd
+          FROM lineitem GROUP BY l_returnflag) t
+        ORDER BY l_returnflag""")),
+
     // HLL++ sketch — engine-specific, never oracle-compared (SURVEY §5.2(5));
     // unit-tested against exact distinct within 5% relative error instead
     // (see ApproxToleranceSpec).

@@ -105,6 +105,99 @@ object FnQueries {
         SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
         ORDER BY k""")),
 
+    // Bag-semantics set ops: multiplicity carries through (INTERSECT ALL
+    // keeps min(n_a, n_b) copies per value, EXCEPT ALL keeps n_a − n_b).
+    // The two lineitem slices give every suppkey a genuine multiplicity on
+    // both sides. Spark plans these as a replicate-count aggregation +
+    // generate — one hash shuffle on the value, no row-by-row matching.
+    Q(
+      "set_intersect_all",
+      (s, d) => {
+        val a = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+          .select(col("l_suppkey").as("k"))
+        val b = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+          .select(col("l_suppkey").as("k"))
+        a.intersectAll(b).orderBy(col("k"))
+      },
+      oracle = Some("""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10
+        INTERSECT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+        ORDER BY k""")),
+
+    Q(
+      "set_except_all",
+      (s, d) => {
+        val a = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+          .select(col("l_suppkey").as("k"))
+        val b = Tables.lineitem(s, d).filter(col("l_quantity") > 40)
+          .select(col("l_suppkey").as("k"))
+        a.exceptAll(b).orderBy(col("k"))
+      },
+      oracle = Some("""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10
+        EXCEPT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+        ORDER BY k""")),
+
+    // Wide→long reshape: Dataset.unpivot over the four lineitem measure
+    // columns (all DOUBLE — unpivot requires one common value type). The
+    // oracle is the portable UNION ALL expansion; Spark emits the source
+    // column name as the metric value, so the literals match exactly.
+    // Metric names sort identically in both engines (plain ASCII).
+    Q(
+      "fn_unpivot",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 200)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 200
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 200) t
+        ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // Regex surface: extract / replace-all / match. Patterns stay inside
+    // the class-and-alternation subset where Java regex (Spark) and RE2
+    // (DuckDB) agree; DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-ALL semantics, and both engines return '' for
+    // a no-match extract.
+    Q(
+      "fn_regexp",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_extract(col("text"), "(batch|stream|merge)", 1).as("first_kw"),
+            regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_").as("devoweled"),
+            col("text").rlike("join .* join").as("double_join"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               regexp_extract(text, '(batch|stream|merge)', 1) AS first_kw,
+               regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+               regexp_matches(text, 'join .* join') AS double_join
+        FROM documents
+        ORDER BY doc_id""")),
+
     Q(
       "fn_string",
       (s, d) => {

@@ -120,6 +120,34 @@ object WindowQueries {
         WHERE rn <= 2
         ORDER BY o_custkey, rn""")),
 
+    // Distribution window functions: ntile buckets + percent_rank +
+    // cume_dist. The ordering key ends in the unique o_orderkey, so every
+    // rank is tie-free — percent_rank's (rank-1)/(n-1) and cume_dist's
+    // peers/n are then single IEEE divisions with identical inputs on both
+    // engines (a tied ordering would make cume_dist count peers and
+    // diverge on representation).
+    Q(
+      "win_ntile_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ntile(4)       OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist()    OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
     // Cumulative daily revenue: aggregate to per-day rows first (bounded),
     // then an unbounded-preceding running sum over the small frame.
     Q(
