@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Table-LAYOUT scale levers, made executable (complements PlanAuditSpec,
+  * which pins per-query plan shapes): at 100 TB the dominant cost of a
+  * repeated fact⋈fact join is the shuffle, and the standard fix is to bake
+  * the partitioning into storage — bucketed tables for shuffle-free
+  * co-located joins, and directory partitioning so selective scans read
+  * only matching partitions. Neither lever needs custom code (Spark's
+  * bucketed scan + partition pruning do the work); these tests prove the
+  * library's tables and keys actually engage them.
+  */
+class ScaleLayoutSpec extends GraftSpec {
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed orders⋈lineitem joins with ZERO shuffle exchanges") {
+    val dir = Files.createTempDirectory("graft_bucketed").toFile
+    try {
+      // Same bucket count + join key on both sides = co-located buckets;
+      // sortBy pre-sorts within buckets so even the merge sort is free.
+      Tables.orders(spark, TestEnv.Sf001)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/orders_b").mode("overwrite")
+        .saveAsTable("graft_orders_b")
+      Tables.lineitem(spark, TestEnv.Sf001)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/lineitem_b").mode("overwrite")
+        .saveAsTable("graft_lineitem_b")
+
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val joined = spark.table("graft_orders_b")
+          .join(spark.table("graft_lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"),
+          s"expected SMJ over bucketed scans:\n${plan.take(1500)}")
+        assert(!plan.contains("Exchange"),
+          s"bucketed co-located join must not shuffle:\n${plan.take(1500)}")
+        // Both layouts agree with the shuffled answer.
+        val expected = Tables.orders(spark, TestEnv.Sf001)
+          .join(Tables.lineitem(spark, TestEnv.Sf001),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("partitioned events scan prunes to the filtered partitions") {
+    val dir = Files.createTempDirectory("graft_part").toFile
+    try {
+      Tables.events(spark, TestEnv.Sf001)
+        .write.partitionBy("event_type").mode("overwrite")
+        .parquet(s"$dir/events_p")
+
+      val scan = spark.read.parquet(s"$dir/events_p")
+        .where(col("event_type") === "click")
+        .select(col("event_id"))
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("event_type"),
+        s"expected event_type partition filter at the scan:\n${plan.take(1500)}")
+      // The pruned scan must touch only the one matching partition
+      // directory — prove it by the row count matching the filtered base.
+      val expected = Tables.events(spark, TestEnv.Sf001)
+        .where(col("event_type") === "click").count()
+      assert(scan.count() == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("new distribution/reshape rows keep parallel plans") {
+    for (q <- Seq("win_ntile_dist", "fn_unpivot", "set_intersect_all",
+      "set_except_all", "agg_minmax_by", "agg_corr_cov")) {
+      val plan = SparkEntry.queries(q)(spark, TestEnv.Sf01)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition") || q.startsWith("agg_"),
+        s"$q must not collapse to a single partition:\n${plan.take(1200)}")
+      assert(!plan.contains("CartesianProduct"), s"$q must not cartesian")
+    }
+  }
+}
