@@ -28,7 +28,8 @@ object ScaleProbe {
     "llm_dedup_exact", "llm_dedup_norm", "llm_text_stats", "llm_lang_pivot",
     "llm_quality_score", "llm_fingerprint", "llm_lang_id",
     "llm_knn_per_vector", "llm_ann_ivf",
-    "fn_json",
+    "fn_json", "fn_regexp",
+    "agg_minmax_by", "agg_corr_cov", "win_ntile_dist", "set_except_all",
     "stream_tumbling", "stream_dedup", "stream_funnel")
 
   def main(args: Array[String]): Unit = {

