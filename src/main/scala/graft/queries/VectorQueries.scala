@@ -89,13 +89,19 @@ object VectorQueries {
         val nprobe = math.max(2L, math.ceil(ncells / 4.0).toLong)
         val cents = e.where(col("vec_id") % stride === 0)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // residency: argmax_c dot(v, c) with deterministic c_id tiebreak
-        val assignW = Window.partitionBy(col("vec_id"))
-          .orderBy(VectorOps.dot(col("v"), col("cv")).desc, col("c_id"))
+        // residency: argmax_c dot(v, c) with deterministic c_id tiebreak.
+        // max_by over struct(dot, -c_id) — the aggregation form, not a
+        // window: a window argmax shuffles AND sorts all N×ncells scored
+        // rows, while the hash agg collapses to one row per vector on the
+        // map side before any exchange (at 10× data this stage dominated
+        // the 7× probe wall ratio). Struct ordering = dot DESC then c_id
+        // ASC via the negated key — identical to the oracle's
+        // row_number() ... ORDER BY dot DESC, c_id pick.
         val cell = e.crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(assignW))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("c_id"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"),
+            struct(VectorOps.dot(col("v"), col("cv")).as("s_dot"),
+              (-col("c_id")).as("s_nc"))).as("c_id"))
         // probe: top-2 cells per query vector
         val probeW = Window.partitionBy(col("q_id"))
           .orderBy(VectorOps.dot(col("qv"), col("cv")).desc, col("c_id"))
