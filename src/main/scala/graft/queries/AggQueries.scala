@@ -258,25 +258,38 @@ object AggQueries {
             sum(x * x).cast("double").as("sxx"),
             sum(y * y).cast("double").as("syy"))
           .withColumn("nd", col("n_rows").cast("double"))
+          // Degenerate-group guard (round-4 ADVICE): on n==1 or zero
+          // variance the denominator is 0 — Spark (non-ANSI) double
+          // division yields NULL while DuckDB IEEE ops yield inf/NaN, a
+          // cross-engine mismatch. Emit NULL explicitly on BOTH sides.
           .withColumn("cov_qty_disc",
-            (col("nd") * col("sxy") - col("sx") * col("sy")) /
-              (col("nd") * (col("nd") - lit(1.0))))
+            when(col("nd") > lit(1.0),
+              (col("nd") * col("sxy") - col("sx") * col("sy")) /
+                (col("nd") * (col("nd") - lit(1.0)))))
           .withColumn("corr_qty_disc",
-            (col("nd") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(greatest(lit(0.0),
+            when(
+              sqrt(greatest(lit(0.0),
                 col("nd") * col("sxx") - col("sx") * col("sx"))) *
                 sqrt(greatest(lit(0.0),
-                  col("nd") * col("syy") - col("sy") * col("sy")))))
+                  col("nd") * col("syy") - col("sy") * col("sy"))) > lit(0.0),
+              (col("nd") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(greatest(lit(0.0),
+                  col("nd") * col("sxx") - col("sx") * col("sx"))) *
+                  sqrt(greatest(lit(0.0),
+                    col("nd") * col("syy") - col("sy") * col("sy"))))))
           .select(col("l_returnflag"), col("n_rows"),
             col("cov_qty_disc"), col("corr_qty_disc"))
           .orderBy(col("l_returnflag"))
       },
       oracle = Some("""
         SELECT l_returnflag, n_rows,
-               (nd * sxy - sx * sy) / (nd * (nd - 1.0)) AS cov_qty_disc,
-               (nd * sxy - sx * sy)
-                 / (sqrt(greatest(0.0, nd * sxx - sx * sx))
-                    * sqrt(greatest(0.0, nd * syy - sy * sy))) AS corr_qty_disc
+               CASE WHEN nd > 1.0
+                    THEN (nd * sxy - sx * sy) / (nd * (nd - 1.0)) END AS cov_qty_disc,
+               CASE WHEN sqrt(greatest(0.0, nd * sxx - sx * sx))
+                           * sqrt(greatest(0.0, nd * syy - sy * sy)) > 0.0
+                    THEN (nd * sxy - sx * sy)
+                           / (sqrt(greatest(0.0, nd * sxx - sx * sx))
+                              * sqrt(greatest(0.0, nd * syy - sy * sy))) END AS corr_qty_disc
         FROM (
           SELECT l_returnflag,
                  count(*) AS n_rows,

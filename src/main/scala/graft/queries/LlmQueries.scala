@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{MinHash, VectorOps}
@@ -39,6 +39,82 @@ object LlmQueries {
     val inter = size(array_intersect(aToks, bToks))
     inter.cast("double") /
       (size(aToks) + size(bToks) - inter).cast("double")
+  }
+
+  /** Stages 1–5 of the full-corpus MinHash/LSH near-dup pipeline (see the
+    * `llm_neardup_minhash` comment for the per-stage scale rationale),
+    * shared by the pair-list query and the cluster-assignment query:
+    *
+    * returns (groups, verified) where
+    *   groups   = one row per distinct token set:
+    *              (tids, rep_id = min member doc_id, members sorted) — persisted;
+    *   verified = exact-verified rep pairs at jac ≥ 0.8:
+    *              (a_rep, b_rep, a_members, b_members, jac).
+    */
+  private def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        sort_array(array_distinct(
+          transform(toks(col("text")), t => xxhash64(t)))).as("tids"))
+    // 1. identical-token-set groups → representative + members.
+    // persist(): consumed four times downstream (sigs, both verify sides,
+    // member expansion); repeated invocations do NOT stack cache entries —
+    // Spark's CacheManager dedupes by logical plan, so the same
+    // (corpus, dir) reuses one small entry (~1 row per distinct set).
+    val groups = docs
+      .groupBy(col("tids"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    // 2. signatures on representatives (token ids, masked to the
+    //    32-bit universal-hash domain — same values the string path
+    //    produced via MinHash.tokenId)
+    val sigs = groups
+      .select(col("rep_id"), explode(col("tids")).as("tid"))
+      .groupBy(col("rep_id"))
+      .agg(MinHash.minhash(col("tid").bitwiseAND(lit(0xffffffffL))).as("sig"))
+    // 3. banding
+    val bands = sigs
+      .select(col("rep_id"),
+        explode(expr(s"sequence(0, ${MinHash.NumBands - 1})")).as("band"),
+        col("sig"))
+      .select(col("rep_id"), col("band"),
+        xxhash64(col("band"),
+          expr(s"slice(sig, band * ${MinHash.RowsPerBand} + 1, " +
+            s"${MinHash.RowsPerBand})")).as("bh"))
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("rep_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    // 4. skew-resharded pair expansion + packed distinct
+    val anchors = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "a_rep")), col("ids"))
+      .select(col("a_rep"),
+        slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1)).as("rest"))
+      .where(size(col("rest")) > 0)
+      .repartition(col("a_rep"))
+    val cand = anchors
+      .select(col("a_rep"), explode(col("rest")).as("b_rep"))
+      .select(shiftleft(col("a_rep"), 32).bitwiseOR(col("b_rep")).as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("a_rep"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("b_rep"))
+    // 5. verify once per rep pair on sorted token-ID arrays (the
+    //    sorted-merge intersect count is the allocation-free fast path)
+    val ga = groups.select(col("rep_id").as("a_rep"), col("tids").as("a_t"),
+      col("members").as("a_members"))
+    val gb = groups.select(col("rep_id").as("b_rep"), col("tids").as("b_t"),
+      col("members").as("b_members"))
+    val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
+      .cast("int")
+    val verified = cand
+      .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
+      .select(col("a_rep"), col("b_rep"), col("a_members"), col("b_members"),
+        (inter.cast("double") /
+          (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))
+      .where(col("jac") >= 0.8)
+    (groups, verified)
   }
 
   val defs: Seq[Q] = Seq(
@@ -165,78 +241,31 @@ object LlmQueries {
     Q(
       "llm_neardup_minhash",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            sort_array(array_distinct(
-              transform(toks(col("text")), t => xxhash64(t)))).as("tids"))
-        // 1. identical-token-set groups → representative + members.
-        // persist(): consumed four times below (sigs, both verify sides,
-        // intra-pairs); repeated invocations do NOT stack cache entries —
-        // Spark's CacheManager dedupes by logical plan, so the same
-        // (corpus, dir) reuses one small entry (~1 row per distinct set).
-        val groups = docs
-          .groupBy(col("tids"))
-          .agg(min(col("doc_id")).as("rep_id"),
-            sort_array(collect_list(col("doc_id"))).as("members"))
-          .persist()
-        // 2. signatures on representatives (token ids, masked to the
-        //    32-bit universal-hash domain — same values the string path
-        //    produced via MinHash.tokenId)
-        val sigs = groups
-          .select(col("rep_id"), explode(col("tids")).as("tid"))
-          .groupBy(col("rep_id"))
-          .agg(MinHash.minhash(col("tid").bitwiseAND(lit(0xffffffffL))).as("sig"))
-        // 3. banding
-        val bands = sigs
-          .select(col("rep_id"),
-            explode(expr(s"sequence(0, ${MinHash.NumBands - 1})")).as("band"),
-            col("sig"))
-          .select(col("rep_id"), col("band"),
-            xxhash64(col("band"),
-              expr(s"slice(sig, band * ${MinHash.RowsPerBand} + 1, " +
-                s"${MinHash.RowsPerBand})")).as("bh"))
-        val buckets = bands
-          .groupBy(col("band"), col("bh"))
-          .agg(sort_array(collect_list(col("rep_id"))).as("ids"))
-          .where(size(col("ids")) > 1)
-        // 4. skew-resharded pair expansion + packed distinct
-        val anchors = buckets
-          .select(posexplode(col("ids")).as(Seq("i", "a_rep")), col("ids"))
-          .select(col("a_rep"),
-            slice(col("ids"), col("i") + lit(2),
-              size(col("ids")) - col("i") - lit(1)).as("rest"))
-          .where(size(col("rest")) > 0)
-          .repartition(col("a_rep"))
-        val cand = anchors
-          .select(col("a_rep"), explode(col("rest")).as("b_rep"))
-          .select(shiftleft(col("a_rep"), 32).bitwiseOR(col("b_rep")).as("pk"))
-          .distinct()
-          .select(shiftright(col("pk"), 32).as("a_rep"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("b_rep"))
-        // 5. verify once per rep pair, then expand groups
-        val ga = groups.select(col("rep_id").as("a_rep"), col("tids").as("a_t"),
-          col("members").as("a_members"))
-        val gb = groups.select(col("rep_id").as("b_rep"), col("tids").as("b_t"),
-          col("members").as("b_members"))
-        // tids are sort_array(array_distinct(...)) — the sorted-merge
-        // intersect count is the allocation-free fast path.
-        val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
-          .cast("int")
-        val crossPairs = cand
-          .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
-          .select(col("a_members"), col("b_members"),
-            (inter.cast("double") /
-              (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))
-          .where(col("jac") >= 0.8)
+        val (groups, verified) = lshRepGraph(s, d)
+        // Expand rep groups back to doc pairs: cross-group pairs inherit
+        // the verified jac verbatim, intra-group pairs are exact
+        // duplicates (jac = 1.0 ≥ τ). BOTH expansions repartition on the
+        // first exploded member between the two explodes (round-4 verdict
+        // #1): without it one task emits all C(m,2) pairs of a duplicate
+        // group — a 100k-member boilerplate cluster (routine in web crawl)
+        // would produce 5×10⁹ rows from a single input row. Resharded, each
+        // post-shuffle row emits at most m rows. (The pair-LIST contract is
+        // still inherently quadratic in cluster size — the scale-shaped
+        // output is llm_dedup_cluster below.)
+        val crossPairs = verified
           .select(explode(col("a_members")).as("a_m"), col("b_members"), col("jac"))
+          .repartition(col("a_m"))
           .select(col("a_m"), explode(col("b_members")).as("b_m"), col("jac"))
           .select(least(col("a_m"), col("b_m")).as("a_id"),
             greatest(col("a_m"), col("b_m")).as("b_id"), col("jac"))
         val intraPairs = groups.where(size(col("members")) > 1)
           .select(posexplode(col("members")).as(Seq("i", "a_id")), col("members"))
           .select(col("a_id"),
-            explode(slice(col("members"), col("i") + lit(2),
-              size(col("members")) - col("i") - lit(1))).as("b_id"))
+            slice(col("members"), col("i") + lit(2),
+              size(col("members")) - col("i") - lit(1)).as("rest"))
+          .where(size(col("rest")) > 0)
+          .repartition(col("a_id"))
+          .select(col("a_id"), explode(col("rest")).as("b_id"))
           .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
         crossPairs.unionAll(intraPairs)
           .orderBy(col("a_id"), col("b_id"))
@@ -254,6 +283,86 @@ object LlmQueries {
         SELECT a_id, b_id, jac FROM p
         WHERE jac >= 0.8
         ORDER BY a_id, b_id""")),
+
+    // H (scale output form): cluster-assignment dedup — ONE row per doc,
+    // (doc_id → keep_id), where keep_id = min doc_id of the doc's near-dup
+    // connected component over the SAME verified LSH rep graph as
+    // llm_neardup_minhash. This is the contract a 100 TB training-data
+    // pipeline actually consumes (keep/drop decisions): output is linear in
+    // corpus size no matter how large a boilerplate cluster grows, where
+    // any pair list is quadratic in cluster size (round-4 verdict #1).
+    //
+    // Components via iterative min-label propagation over reps:
+    //   label(x) ← min(label(x), min over neighbors' labels), repeated to
+    // fixpoint — each iteration is one keyed shuffle (join + groupBy) over
+    // the REP graph (already collapsed ~21% below doc count here, far more
+    // on boilerplate-heavy corpora), labels persisted per round so lineage
+    // stays flat. Near-dup clusters are dense (every member verified
+    // against the rep at τ), so the min reaches everyone in O(cluster
+    // diameter) rounds — 3 on this corpus, bounded by MaxIters as a
+    // correctness backstop (fail loud, never emit a half-converged
+    // labeling). Deterministic: the fixpoint (min id per component) is
+    // unique regardless of iteration order.
+    //
+    // keep_id equivalence with the doc-level oracle: rep_id = min(members),
+    // members connect to their rep at jac = 1, and cross-group member pairs
+    // have exactly their reps' jaccard (identical token sets) — so rep
+    // components and doc components coincide and min-rep = min-doc.
+    Q(
+      "llm_dedup_cluster",
+      (s, d) => {
+        val (groups, verified) = lshRepGraph(s, d)
+        val edges = verified.select(col("a_rep").as("src"), col("b_rep").as("dst"))
+          .unionAll(verified.select(col("b_rep").as("src"), col("a_rep").as("dst")))
+          .persist()
+        val MaxIters = 30
+        var labels = groups.select(col("rep_id"), col("rep_id").as("comp")).persist()
+        var iter = 0
+        var converged = false
+        while (!converged && iter < MaxIters) {
+          val nbrMin = edges
+            .join(labels, col("dst") === col("rep_id"))
+            .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+          val next = labels
+            .join(nbrMin, col("rep_id") === col("src"), "left")
+            .select(col("rep_id"),
+              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+            .persist()
+          val changed = next.as("n")
+            .join(labels.as("o"), "rep_id")
+            .where(col("n.comp") =!= col("o.comp"))
+            .count() // materializes `next` too
+          labels.unpersist()
+          labels = next
+          converged = changed == 0L
+          iter += 1
+        }
+        require(converged, s"label propagation did not converge in $MaxIters rounds")
+        edges.unpersist()
+        groups.join(labels, "rep_id")
+          .select(explode(col("members")).as("doc_id"), col("comp").as("keep_id"))
+          .orderBy(col("doc_id"))
+      },
+      // Oracle: doc-level connected components by recursive reachability
+      // (UNION-distinct bounds the walk), keep_id = min reachable doc_id.
+      oracle = Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, $toksSqlDuck AS toks
+          FROM documents),
+        e AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+          FROM t a JOIN t b ON a.doc_id <> b.doc_id),
+        edges AS (SELECT src, dst FROM e WHERE jac >= 0.8),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM t
+          UNION
+          SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r)
+        SELECT id AS doc_id, min(r) AS keep_id
+        FROM reach GROUP BY id
+        ORDER BY doc_id""")),
 
     // H: brute-force top-k most-similar vector pairs by dot product (R4:
     // everything in DOUBLE before any arithmetic — the one mismatch SURVEY

@@ -2,6 +2,7 @@ package graft.sources.kinesis
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StructType
 
 /** Payload decoding for the kinesis source (the reference's `format` option
@@ -31,4 +32,19 @@ object Payload {
     df.withColumn("text", col("data").cast("string"))
       .select(col("streamName"), col("partitionKey"), col("sequenceNumber"),
         col("shardId"), col("approximateArrivalTimestamp"), col("text"))
+
+  /** KPL deaggregation (see [[Kpl]]): expands KPL-aggregated blobs to their
+    * member records, passing non-aggregated records through untouched.
+    * Output keeps the source's exact record schema, so json/csv/utf8 chain
+    * after it unchanged: member records carry their OWN partition key from
+    * the aggregate's key table; stream/shard/sequence/arrival provenance is
+    * inherited from the transport record (members of one blob share its
+    * sequence number, exactly as Kinesis stores them).
+    */
+  def deaggregate(df: DataFrame): DataFrame =
+    df.withColumn("rec",
+      explode(ColumnBridge.column(KplDeaggregate(ColumnBridge.expression(col("data"))))))
+      .select(col("rec.data").as("data"), col("streamName"),
+        coalesce(col("rec.partitionKey"), col("partitionKey")).as("partitionKey"),
+        col("sequenceNumber"), col("shardId"), col("approximateArrivalTimestamp"))
 }

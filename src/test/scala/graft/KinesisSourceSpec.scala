@@ -367,4 +367,28 @@ class KinesisSourceSpec extends GraftSpec {
 
     assert(agg.nonEmpty && agg.map(_.getAs[Long]("n")).sum == 60)
   }
+
+  test("KPL-aggregated payloads roundtrip: fake producer → source → deaggregate decode") {
+    // Real producers aggregate by default (SURVEY §2.1 KPLBasedKinesisTestUtils
+    // row): mixed traffic of one aggregated blob + plain records must come
+    // out as the member records with their own partition keys.
+    val (id, svc) = freshFake()
+    svc.createStream("kpl1", 2)
+    val agg = Kpl.aggregate(Seq(
+      "u1" -> """{"v":1}""".getBytes(UTF_8),
+      "u2" -> """{"v":2}""".getBytes(UTF_8),
+      "u1" -> """{"v":3}""".getBytes(UTF_8)))
+    svc.putRecords("kpl1", Seq("blob_pk" -> agg, "plain_pk" -> "plain".getBytes(UTF_8)))
+
+    val out = Payload.deaggregate(readAvailable(id, "kpl1"))
+    val got = out.select(col("partitionKey"), col("data").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("u1", """{"v":1}"""), ("u2", """{"v":2}"""),
+      ("u1", """{"v":3}"""), ("plain_pk", "plain")))
+    assert(out.count() == 4)
+    // Members inherit the blob's transport metadata (shard + sequence).
+    val memberSeqs = out.where(col("partitionKey").startsWith("u"))
+      .select(col("sequenceNumber")).collect().map(_.getString(0)).distinct
+    assert(memberSeqs.length == 1, "all members share the aggregated record's sequence")
+  }
 }
