@@ -18,11 +18,23 @@ object Bench {
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // Per-query values rounded to ms so the ONE JSON line stays inside a
+    // 2,000-char output tail at 79 queries (round-4 verdict #9: full-double
+    // values pushed the line past the captured tail and truncated 12
+    // timings); the unrounded full map is preserved in BENCH_FULL.json.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      s"""{"total":$total,"sf":"$sfDir","queries":$full}""")
+    catch { case _: Throwable => () } // sidecar is best-effort
     spark.stop()
+    println(line) // last stdout line: survives tail-capture intact
   }
 }

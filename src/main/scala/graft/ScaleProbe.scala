@@ -30,7 +30,11 @@ object ScaleProbe {
     "llm_knn_per_vector", "llm_ann_ivf",
     "fn_json", "fn_regexp",
     "agg_minmax_by", "agg_corr_cov", "win_ntile_dist", "set_except_all",
-    "stream_tumbling", "stream_dedup", "stream_funnel")
+    "stream_tumbling", "stream_dedup", "stream_funnel",
+    // round 5: the part⋈lineitem promo join and the cluster-assignment
+    // dedup (linear output — unlike the pair-list rows, its wall ratio IS
+    // informative at scale).
+    "join_part_q14", "llm_dedup_cluster")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, factorStr) = args.take(3)

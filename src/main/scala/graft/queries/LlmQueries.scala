@@ -299,7 +299,7 @@ object LlmQueries {
     // on boilerplate-heavy corpora), labels persisted per round so lineage
     // stays flat. Near-dup clusters are dense (every member verified
     // against the rep at τ), so the min reaches everyone in O(cluster
-    // diameter) rounds — 3 on this corpus, bounded by MaxIters as a
+    // diameter) rounds — 5 on this corpus at sf0.1, bounded by MaxIters as a
     // correctness backstop (fail loud, never emit a half-converged
     // labeling). Deterministic: the fixpoint (min id per component) is
     // unique regardless of iteration order.
@@ -312,27 +312,37 @@ object LlmQueries {
       "llm_dedup_cluster",
       (s, d) => {
         val (groups, verified) = lshRepGraph(s, d)
+        // Iterative state is localCheckpoint'd EAGERLY each round, not just
+        // persisted: each round's plan nests the previous one, so without
+        // lineage truncation Catalyst re-analyzes an exponentially growing
+        // tree every iteration even though execution hits cache (measured
+        // here: per-round wall grew 1.5 s → 11 s by round 5; truncated it
+        // stays flat). Same reason GraphFrames checkpoints its CC loop.
         val edges = verified.select(col("a_rep").as("src"), col("b_rep").as("dst"))
           .unionAll(verified.select(col("b_rep").as("src"), col("a_rep").as("dst")))
           .persist()
         val MaxIters = 30
-        var labels = groups.select(col("rep_id"), col("rep_id").as("comp")).persist()
+        var labels = groups.select(col("rep_id"), col("rep_id").as("comp"))
+          .localCheckpoint(true)
         var iter = 0
         var converged = false
         while (!converged && iter < MaxIters) {
+          // broadcast(labels): checkpointed DFs carry the default (huge)
+          // size estimate, so unhinted this plans as an SMJ that re-sorts
+          // the full edge set EVERY round. One label row per rep — the
+          // same small side the verify stage already broadcasts.
           val nbrMin = edges
-            .join(labels, col("dst") === col("rep_id"))
+            .join(broadcast(labels), col("dst") === col("rep_id"))
             .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
           val next = labels
             .join(nbrMin, col("rep_id") === col("src"), "left")
             .select(col("rep_id"),
               least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-            .persist()
+            .localCheckpoint(true) // truncate lineage; also materializes
           val changed = next.as("n")
             .join(labels.as("o"), "rep_id")
             .where(col("n.comp") =!= col("o.comp"))
-            .count() // materializes `next` too
-          labels.unpersist()
+            .count()
           labels = next
           converged = changed == 0L
           iter += 1
@@ -345,6 +355,12 @@ object LlmQueries {
       },
       // Oracle: doc-level connected components by recursive reachability
       // (UNION-distinct bounds the walk), keep_id = min reachable doc_id.
+      // The walk is verify-scale like the other all-pairs oracles (fine at
+      // the driver's sf0.01 gate): a giant component of m docs costs
+      // ~O(m³) closure intermediates (this corpus has one with 3728 docs
+      // at sf0.1). At sf0.1 the Spark output is instead cross-validated by
+      // union-find over the hash-verified llm_neardup_minhash pair list —
+      // 0 mismatches over 5000 docs / 2.97M pairs [MEASURED round 5].
       oracle = Some(s"""
         WITH RECURSIVE t AS (
           SELECT doc_id, $toksSqlDuck AS toks

@@ -391,4 +391,38 @@ class KinesisSourceSpec extends GraftSpec {
       .select(col("sequenceNumber")).collect().map(_.getString(0)).distinct
     assert(memberSeqs.length == 1, "all members share the aggregated record's sequence")
   }
+
+  test("source metrics: records-pending lag surfaces in StreamingQueryProgress") {
+    val (id, svc) = freshFake()
+    svc.createStream("m1", 2)
+    svc.putRecords("m1", (1 to 90).map(i => (s"pk$i", s"r$i".getBytes(UTF_8))))
+
+    val df = spark.readStream.format("kinesis")
+      .option("streams", "m1")
+      .option("initialPosition", "trim_horizon")
+      .option("fake.id", id)
+      .option("maxRecordsPerTrigger", "30") // force a multi-batch drain
+      .load()
+    val qn = "kinesis_metrics_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_metrics").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(spark.table(qn).count() == 90)
+    val metrics = q.recentProgress.toSeq
+      .filter(_.sources.nonEmpty).map(_.sources.head.metrics)
+    assert(metrics.nonEmpty, "expected source metrics in progress events")
+    metrics.foreach { m =>
+      assert(m.containsKey("recordsPendingTotal") &&
+        m.containsKey("maxRecordsPendingPerShard") && m.containsKey("shardsTotal"),
+        s"missing metric keys in $m")
+      assert(m.get("shardsTotal") == "2")
+    }
+    val pendings = metrics.map(_.get("recordsPendingTotal").toLong)
+    // Mid-drain progress events must show real lag; the final one shows 0.
+    assert(pendings.head > 0, s"first batch should report lag, got $pendings")
+    assert(pendings.last == 0, s"drained stream must report zero lag, got $pendings")
+  }
 }
