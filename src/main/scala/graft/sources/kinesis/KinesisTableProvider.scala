@@ -25,6 +25,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   awsAccessKeyId, awsSecretKey                        (basic creds)
   *   stsRoleArn, stsSessionName, stsExternalId           (STS chain)
   *   fake.id              use the registered in-memory service (offline)
+  *   kplAggregate         sink only: pack records into KPL aggregated
+  *                        blobs per flush (producer-side aggregation)
+  *   kplMaxAggregatedSize sink only: blob size cap, default 1 MiB
   *
   * Payload stays opaque BINARY `data` (the reference's decoder model);
   * format decoding is a DataFrame-side concern — see
@@ -131,7 +134,10 @@ final class KinesisWriteBuilder(options: CaseInsensitiveStringMap, schema: Struc
       val streams = KinesisTableProvider.streamNames(options)
       require(streams.size == 1, "kinesis sink writes to exactly one stream")
       new KinesisStreamingWrite(streams.head,
-        KinesisTableProvider.clientFactory(options), schema)
+        KinesisTableProvider.clientFactory(options), schema,
+        kplAggregate = Option(options.get("kplaggregate")).exists(_.toBoolean),
+        kplMaxAggregatedSize =
+          Option(options.get("kplmaxaggregatedsize")).map(_.toInt).getOrElse(1 << 20))
     }
   }
 }

@@ -341,6 +341,37 @@ class KinesisSourceSpec extends GraftSpec {
     assert(stored.map(_.shardId).distinct.size == 2, "keys spread across shards")
   }
 
+  test("sink kplAggregate: fewer transport records, deaggregate restores every row") {
+    val (id, svc) = freshFake()
+    svc.createStream("out_agg", 1)
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData((1 to 200).map(i => (s"pk${i % 7}", s"payload$i")): _*)
+    val q = ms.toDF().toDF("pk", "txt")
+      .select(col("pk").as("partitionKey"), col("txt").cast("binary").as("data"))
+      .writeStream
+      .format("kinesis")
+      .option("streams", "out_agg")
+      .option("fake.id", id)
+      .option("kplAggregate", "true")
+      .option("kplMaxAggregatedSize", "512") // force several blobs
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kinesis_sink_agg").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stored = svc.allRecords("out_agg")
+    assert(stored.size < 200 && stored.size > 1,
+      s"expected aggregated transport records, got ${stored.size}")
+    // Read back through the source + deaggregation: every row, its own key.
+    val got = Payload.deaggregate(readAvailable(id, "out_agg"))
+      .select(col("partitionKey"), col("data").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == (1 to 200).map(i => (s"pk${i % 7}", s"payload$i")).toSet)
+  }
+
   test("source→transform→sink roundtrip: kinesis in, StreamOps window agg, kinesis out semantics") {
     // The full identity flow of the reference: ingest a stream, run a
     // relational transform, and the result matches the same transform over

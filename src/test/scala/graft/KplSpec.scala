@@ -31,6 +31,14 @@ class KplSpec extends GraftSpec {
     assert(parsed.get.map(_._1).distinct == Seq("alpha", "beta"))
   }
 
+  test("roundtrip with >127 distinct keys exercises multi-byte varint indexes") {
+    val many = (0 until 300).map(i => (s"key_$i", s"d$i".getBytes(UTF_8)))
+    val parsed = Kpl.parse(Kpl.aggregate(many))
+    assert(parsed.isDefined)
+    assert(parsed.get.map { case (pk, d) => (pk, new String(d, UTF_8)) } ==
+      many.map { case (pk, d) => (pk, new String(d, UTF_8)) })
+  }
+
   test("malformed blobs all fall back to non-KPL (plain record) verdicts") {
     val blob = Kpl.aggregate(recs)
     // no magic
