@@ -334,11 +334,23 @@ object LlmQueries {
           val nbrMin = edges
             .join(broadcast(labels), col("dst") === col("rep_id"))
             .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-          val next = labels
+          val half = labels
             .join(nbrMin, col("rep_id") === col("src"), "left")
             .select(col("rep_id"),
               least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
             .localCheckpoint(true) // truncate lineage; also materializes
+          // Pointer jump: comp ← comp(comp). Doubles the propagated
+          // distance per round, so MaxIters rounds cover components of
+          // diameter 2^MaxIters instead of MaxIters — the backstop can
+          // then only fire on a broken graph, never a deep one. Both sides
+          // are the checkpointed label table (tiny), no edge re-scan.
+          val next = half.as("l")
+            .join(broadcast(half.as("m")), col("l.comp") === col("m.rep_id"))
+            .select(col("l.rep_id").as("rep_id"), col("m.comp").as("comp"))
+            .localCheckpoint(true)
+          // Converged ⇔ next == labels: stability under BOTH steps forces
+          // comp constant per component (symmetric edges) and root-valued,
+          // i.e. comp == component min.
           val changed = next.as("n")
             .join(labels.as("o"), "rep_id")
             .where(col("n.comp") =!= col("o.comp"))

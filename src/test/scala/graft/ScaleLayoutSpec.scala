@@ -95,6 +95,35 @@ class ScaleLayoutSpec extends GraftSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the skew lever)") {
+    // Third table-layout/runtime lever after bucketing and pruning: a hot
+    // join key (90% of one side) must not serialize into one straggler
+    // task — AQE's skew-join split handles it with NO query change, which
+    // is exactly why the declared fact joins can rely on it at 100 TB.
+    // Thresholds are scaled down so verify-sized data exhibits the same
+    // runtime decision a 100 TB hot key would.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right.hint("merge"), "k")
+      // collect() (not count(), which plans its own QueryExecution) so THIS
+      // Dataset's adaptive plan is the one that runs to final.
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected AQE skew-join split in the final plan:\n${plan.take(2000)}")
+    }
+  }
+
   test("new distribution/reshape rows keep parallel plans") {
     for (q <- Seq("win_ntile_dist", "fn_unpivot", "set_intersect_all",
       "set_except_all", "agg_minmax_by", "agg_corr_cov")) {
