@@ -11,14 +11,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query isolation (round-6 verdict #1): the persist-heavy LSH /
+    // cluster / IVF queries leave cached DFs and localCheckpoint RDDs
+    // behind for their lazily-returned results; in a shared session that
+    // state accumulates and bled up to 5.5× into the timings of whatever
+    // ran next (llm_knn_per_vector 0.82 s → 4.51 s on identical code,
+    // r5 vs r6). Clearing both caches between queries makes each timing
+    // independent of suite order.
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def time(q: Q): Double = {
+      val t0 = System.nanoTime()
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearState()
+      dt
+    }
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
     // per-query times stay comparable round-over-round.
-    val results = SparkEntry.all.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = SparkEntry.all.map(q => q.name -> time(q))
     // Per-query values rounded to ms so the ONE JSON line stays inside a
     // 2,000-char output tail at 79 queries (round-4 verdict #9: full-double
     // values pushed the line past the captured tail and truncated 12

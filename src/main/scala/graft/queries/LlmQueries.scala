@@ -41,6 +41,21 @@ object LlmQueries {
       (size(aToks) + size(bToks) - inter).cast("double")
   }
 
+  /** Drop the block-manager blocks behind an EAGER `localCheckpoint(true)`
+    * Dataset once it is superseded. `Dataset.unpersist` only touches the
+    * CacheManager, not checkpoint RDDs — those live in the plan as a
+    * `LogicalRDD` leaf whose RDD was persisted by the checkpoint, so the
+    * only handle is the leaf's `rdd` (round-6 verdict #1: without this,
+    * every label-propagation round leaks three checkpoint RDDs into the
+    * block manager for the life of the session).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Stages 1–5 of the full-corpus MinHash/LSH near-dup pipeline (see the
     * `llm_neardup_minhash` comment for the per-stage scale rationale),
     * shared by the pair-list query and the cluster-assignment query:
@@ -348,6 +363,9 @@ object LlmQueries {
             .join(broadcast(half.as("m")), col("l.comp") === col("m.rep_id"))
             .select(col("l.rep_id").as("rep_id"), col("m.comp").as("comp"))
             .localCheckpoint(true)
+          // `half` is dead the moment `next` materializes (eager checkpoint
+          // above) — free its blocks now, not at session end.
+          freeCheckpoint(half)
           // Converged ⇔ next == labels: stability under BOTH steps forces
           // comp constant per component (symmetric edges) and root-valued,
           // i.e. comp == component min.
@@ -355,12 +373,18 @@ object LlmQueries {
             .join(labels.as("o"), "rep_id")
             .where(col("n.comp") =!= col("o.comp"))
             .count()
+          // The previous round's labels are dead once `changed` is counted.
+          freeCheckpoint(labels)
           labels = next
           converged = changed == 0L
           iter += 1
         }
         require(converged, s"label propagation did not converge in $MaxIters rounds")
         edges.unpersist()
+        // Still alive on purpose: the FINAL labels checkpoint (one tiny row
+        // per rep) and lshRepGraph's `groups` cache — both feed the lazy
+        // DataFrame returned below. Callers that run many queries in one
+        // session (Bench/Verify) clear them between queries.
         groups.join(labels, "rep_id")
           .select(explode(col("members")).as("doc_id"), col("comp").as("keep_id"))
           .orderBy(col("doc_id"))
