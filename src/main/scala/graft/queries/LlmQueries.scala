@@ -56,35 +56,59 @@ object LlmQueries {
       case _ => ()
     }
 
+  /** Upper bound on rows per identical-token-set group: `collect_list`
+    * member arrays are chunked by a doc-id hash so no single row ever holds
+    * a whole giant duplicate group (round-6 verdict "next round" #4 — a
+    * 10⁷-member byte-identical boilerplate group would otherwise build one
+    * ~80 MB array row). Width per chunk is ⌈m / 256⌉: a 10⁹-member group
+    * tops out at ~31 MB per row; small groups (the overwhelming majority)
+    * still occupy a single row because only chunks with members exist.
+    */
+  private val MemberChunks = 256
+
   /** Stages 1–5 of the full-corpus MinHash/LSH near-dup pipeline (see the
     * `llm_neardup_minhash` comment for the per-stage scale rationale),
     * shared by the pair-list query and the cluster-assignment query:
     *
-    * returns (groups, verified) where
-    *   groups   = one row per distinct token set:
-    *              (tids, rep_id = min member doc_id, members sorted) — persisted;
+    * returns (chunks, verified) where
+    *   chunks   = ≤MemberChunks rows per distinct token set:
+    *              (rep_id = min member doc_id, cmin = min member in this
+    *              chunk — cmin = rep_id marks the rep's own chunk,
+    *              members sorted, bounded width) — persisted;
     *   verified = exact-verified rep pairs at jac ≥ 0.8:
-    *              (a_rep, b_rep, a_members, b_members, jac).
+    *              (a_rep, b_rep, jac) — member-free, so the verify
+    *              broadcast carries only token ids, never doc lists.
     */
-  private def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         sort_array(array_distinct(
           transform(toks(col("text")), t => xxhash64(t)))).as("tids"))
-    // 1. identical-token-set groups → representative + members.
+    // 1. identical-token-set groups, member lists CHUNKED by doc-id hash
+    // (bounded row width — see MemberChunks), then the group-wide
+    // representative attached by a window min over the chunk rows (linear;
+    // the window shuffles one bounded row per chunk, not one per doc).
     // persist(): consumed four times downstream (sigs, both verify sides,
     // member expansion); repeated invocations do NOT stack cache entries —
     // Spark's CacheManager dedupes by logical plan, so the same
-    // (corpus, dir) reuses one small entry (~1 row per distinct set).
-    val groups = docs
-      .groupBy(col("tids"))
-      .agg(min(col("doc_id")).as("rep_id"),
+    // (corpus, dir) reuses one small entry.
+    val chunks = docs
+      .groupBy(col("tids"),
+        pmod(xxhash64(col("doc_id")), lit(MemberChunks)).as("chunk"))
+      .agg(min(col("doc_id")).as("cmin"),
         sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("rep_id", min(col("cmin")).over(Window.partitionBy(col("tids"))))
       .persist()
+    // reps: exactly one row per distinct token set (the chunk holding the
+    // group minimum — chunks partition the members, so only one chunk's
+    // cmin equals the group min).
+    val reps = chunks.where(col("cmin") === col("rep_id"))
+      .select(col("rep_id"), col("tids"))
     // 2. signatures on representatives (token ids, masked to the
     //    32-bit universal-hash domain — same values the string path
     //    produced via MinHash.tokenId)
-    val sigs = groups
+    val sigs = reps
       .select(col("rep_id"), explode(col("tids")).as("tid"))
       .groupBy(col("rep_id"))
       .agg(MinHash.minhash(col("tid").bitwiseAND(lit(0xffffffffL))).as("sig"))
@@ -116,20 +140,21 @@ object LlmQueries {
       .select(shiftright(col("pk"), 32).as("a_rep"),
         col("pk").bitwiseAND(lit(0xffffffffL)).as("b_rep"))
     // 5. verify once per rep pair on sorted token-ID arrays (the
-    //    sorted-merge intersect count is the allocation-free fast path)
-    val ga = groups.select(col("rep_id").as("a_rep"), col("tids").as("a_t"),
-      col("members").as("a_members"))
-    val gb = groups.select(col("rep_id").as("b_rep"), col("tids").as("b_t"),
-      col("members").as("b_members"))
+    //    sorted-merge intersect count is the allocation-free fast path).
+    //    Only (rep_id, tids) is broadcast — member lists stay out of the
+    //    verify path entirely and are re-attached chunk-by-chunk in the
+    //    consumers.
+    val ga = reps.select(col("rep_id").as("a_rep"), col("tids").as("a_t"))
+    val gb = reps.select(col("rep_id").as("b_rep"), col("tids").as("b_t"))
     val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
       .cast("int")
     val verified = cand
       .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
-      .select(col("a_rep"), col("b_rep"), col("a_members"), col("b_members"),
+      .select(col("a_rep"), col("b_rep"),
         (inter.cast("double") /
           (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))
       .where(col("jac") >= 0.8)
-    (groups, verified)
+    (chunks, verified)
   }
 
   val defs: Seq[Q] = Seq(
@@ -256,7 +281,7 @@ object LlmQueries {
     Q(
       "llm_neardup_minhash",
       (s, d) => {
-        val (groups, verified) = lshRepGraph(s, d)
+        val (chunks, verified) = lshRepGraph(s, d)
         // Expand rep groups back to doc pairs: cross-group pairs inherit
         // the verified jac verbatim, intra-group pairs are exact
         // duplicates (jac = 1.0 ≥ τ). BOTH expansions repartition on the
@@ -264,23 +289,32 @@ object LlmQueries {
         // #1): without it one task emits all C(m,2) pairs of a duplicate
         // group — a 100k-member boilerplate cluster (routine in web crawl)
         // would produce 5×10⁹ rows from a single input row. Resharded, each
-        // post-shuffle row emits at most m rows. (The pair-LIST contract is
-        // still inherently quadratic in cluster size — the scale-shaped
-        // output is llm_dedup_cluster below.)
+        // post-shuffle row emits at most one CHUNK (⌈m/MemberChunks⌉ rows,
+        // round-6 #4) per broadcast-join match. The broadcast member
+        // re-attachment preserves the reshard (broadcast joins don't
+        // re-exchange). (The pair-LIST contract is still inherently
+        // quadratic in cluster size — the scale-shaped output is
+        // llm_dedup_cluster below.)
+        val ca = chunks.select(col("rep_id").as("a_rep"), col("members").as("a_members"))
+        val cb = chunks.select(col("rep_id").as("b_rep"), col("members").as("b_members"))
         val crossPairs = verified
-          .select(explode(col("a_members")).as("a_m"), col("b_members"), col("jac"))
+          .join(broadcast(ca), "a_rep")
+          .select(explode(col("a_members")).as("a_m"), col("b_rep"), col("jac"))
           .repartition(col("a_m"))
+          .join(broadcast(cb), "b_rep")
           .select(col("a_m"), explode(col("b_members")).as("b_m"), col("jac"))
           .select(least(col("a_m"), col("b_m")).as("a_id"),
             greatest(col("a_m"), col("b_m")).as("b_id"), col("jac"))
-        val intraPairs = groups.where(size(col("members")) > 1)
-          .select(posexplode(col("members")).as(Seq("i", "a_id")), col("members"))
-          .select(col("a_id"),
-            slice(col("members"), col("i") + lit(2),
-              size(col("members")) - col("i") - lit(1)).as("rest"))
-          .where(size(col("rest")) > 0)
+        // Intra-group pairs across ALL chunk rows of each rep: explode one
+        // member per row, reshard, re-attach every chunk of the same rep by
+        // broadcast, keep b > a so each unordered pair appears exactly once
+        // (each doc lives in exactly one chunk).
+        val intraPairs = chunks
+          .select(col("rep_id"), explode(col("members")).as("a_id"))
           .repartition(col("a_id"))
-          .select(col("a_id"), explode(col("rest")).as("b_id"))
+          .join(broadcast(chunks.select(col("rep_id"), col("members"))), "rep_id")
+          .select(col("a_id"), explode(col("members")).as("b_id"))
+          .where(col("b_id") > col("a_id"))
           .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
         crossPairs.unionAll(intraPairs)
           .orderBy(col("a_id"), col("b_id"))
@@ -326,7 +360,10 @@ object LlmQueries {
     Q(
       "llm_dedup_cluster",
       (s, d) => {
-        val (groups, verified) = lshRepGraph(s, d)
+        val (chunks, verified) = lshRepGraph(s, d)
+        // One label row per rep = the chunk rows holding each group's
+        // minimum (chunks partition the members, so exactly one qualifies).
+        val repRows = chunks.where(col("cmin") === col("rep_id"))
         // Iterative state is localCheckpoint'd EAGERLY each round, not just
         // persisted: each round's plan nests the previous one, so without
         // lineage truncation Catalyst re-analyzes an exponentially growing
@@ -337,7 +374,7 @@ object LlmQueries {
           .unionAll(verified.select(col("b_rep").as("src"), col("a_rep").as("dst")))
           .persist()
         val MaxIters = 30
-        var labels = groups.select(col("rep_id"), col("rep_id").as("comp"))
+        var labels = repRows.select(col("rep_id"), col("rep_id").as("comp"))
           .localCheckpoint(true)
         var iter = 0
         var converged = false
@@ -382,10 +419,10 @@ object LlmQueries {
         require(converged, s"label propagation did not converge in $MaxIters rounds")
         edges.unpersist()
         // Still alive on purpose: the FINAL labels checkpoint (one tiny row
-        // per rep) and lshRepGraph's `groups` cache — both feed the lazy
+        // per rep) and lshRepGraph's `chunks` cache — both feed the lazy
         // DataFrame returned below. Callers that run many queries in one
         // session (Bench/Verify) clear them between queries.
-        groups.join(labels, "rep_id")
+        chunks.join(broadcast(labels), "rep_id")
           .select(explode(col("members")).as("doc_id"), col("comp").as("keep_id"))
           .orderBy(col("doc_id"))
       },

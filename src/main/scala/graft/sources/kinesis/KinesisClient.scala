@@ -49,6 +49,27 @@ trait KinesisClient extends Serializable {
     if (page.size < count) until else page.last.sequenceNumber + 1
   }
 
+  /** Approximate milliseconds the position `at` lags the shard tip, in
+    * STREAM time: arrival(last record) − arrival(first unconsumed record),
+    * 0 when caught up. This is the `MillisBehindLatest` signal of the
+    * public GetRecords response / CloudWatch surface (SURVEY §2.1
+    * MetricsLevel rows), derived here from arrival timestamps so the
+    * offline fake stays deterministic (no wall clock). Default costs two
+    * 1-record reads per call; an SDK-backed client overrides it with the
+    * value GetRecords already returns for free.
+    */
+  def millisBehindLatest(stream: String, shardId: String, at: Long): Long = {
+    val tip = latestSequence(stream, shardId)
+    if (at >= tip) 0L
+    else {
+      val next = getRecords(stream, shardId, at, tip, 1)
+      val last = getRecords(stream, shardId, tip - 1, tip, 1)
+      (for (n <- next.headOption; l <- last.headOption)
+        yield math.max(0L, l.approximateArrivalMs - n.approximateArrivalMs))
+        .getOrElse(0L)
+    }
+  }
+
   /** PutRecords: (partitionKey, payload) pairs routed to open shards. */
   def putRecords(stream: String, records: Seq[(String, Array[Byte])]): Unit
 }

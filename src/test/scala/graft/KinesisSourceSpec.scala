@@ -447,7 +447,8 @@ class KinesisSourceSpec extends GraftSpec {
     assert(metrics.nonEmpty, "expected source metrics in progress events")
     metrics.foreach { m =>
       assert(m.containsKey("recordsPendingTotal") &&
-        m.containsKey("maxRecordsPendingPerShard") && m.containsKey("shardsTotal"),
+        m.containsKey("maxRecordsPendingPerShard") &&
+        m.containsKey("maxMillisBehindLatest") && m.containsKey("shardsTotal"),
         s"missing metric keys in $m")
       assert(m.get("shardsTotal") == "2")
     }
@@ -455,5 +456,15 @@ class KinesisSourceSpec extends GraftSpec {
     // Mid-drain progress events must show real lag; the final one shows 0.
     assert(pendings.head > 0, s"first batch should report lag, got $pendings")
     assert(pendings.last == 0, s"drained stream must report zero lag, got $pendings")
+    // Time lag (MillisBehindLatest analog) must track the record lag: the
+    // fake clock advances 1 ms per put, so a mid-drain event lags by
+    // (records pending on the worst shard − 1) ms. The implication is
+    // one-way — a single pending record IS the tip, so its stream-time lag
+    // is legitimately 0 ms while the record count still reads 1.
+    val millis = metrics.map(_.get("maxMillisBehindLatest").toLong)
+    assert(millis.head > 0, s"first batch should report time lag, got $millis")
+    assert(millis.last == 0, s"drained stream must report zero time lag, got $millis")
+    assert(millis.zip(pendings).forall { case (ms, rec) => ms == 0 || rec > 0 },
+      s"time lag without record lag is impossible: $millis vs $pendings")
   }
 }
