@@ -15,45 +15,60 @@ object Bench {
     // cluster / IVF queries leave cached DFs and localCheckpoint RDDs
     // behind for their lazily-returned results; in a shared session that
     // state accumulates and bled up to 5.5× into the timings of whatever
-    // ran next (llm_knn_per_vector 0.82 s → 4.51 s on identical code,
-    // r5 vs r6). Clearing both caches between queries makes each timing
-    // independent of suite order.
+    // ran next. Round-7 verdict #1 hardened it: the sweep is now BLOCKING
+    // plus an explicit GC, so async block removal can't land inside the
+    // next query's timing window (llm_sim_cosine_topk read 3.40 s vs ~1 s
+    // on unchanged code right after the cluster query's non-blocking
+    // sweep). Both run OUTSIDE the timed region.
     def clearState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      Cleanup.release(spark, blocking = true)
+      System.gc()
     }
+    // A crashed query must not enter the median looking like a fast
+    // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
+    // the raw samples (visible in BENCH_FULL.json) but excluded from the
+    // median; a query with no successful sample reports -1.0.
     def time(q: Q): Double = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { q.fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       clearState()
-      dt
+      if (ok) dt else -1.0
     }
-    // Repeat-run mode (round-6 verdict "next round" #2): the queries whose
-    // r5↔r6 timings swung >1.5× on IDENTICAL code get median-of-N (default
-    // 3) instead of a single shot, so one scheduler hiccup or GC pause
-    // can't masquerade as a regression. The headline JSON line reports the
-    // median; every raw sample lands in BENCH_FULL.json under "samples".
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
-    val repeatSet: Set[String] = sys.env.getOrElse("SPARK_GRAFT_REPEAT_QUERIES",
-      "llm_knn_per_vector,llm_text_stats,join_theta_range,join_full_outer," +
-        "join_left_semi,stream_funnel,llm_dedup_cluster")
+    // Repeat-run mode, ADAPTIVE (round-7 verdict #1): a static allowlist
+    // keyed to last round's swings always misses the next one, so ANY
+    // query whose first sample is ≥ RepeatFloor (default 0.5 s — where a
+    // GC pause or scheduler hiccup is large enough to fake a 2×
+    // regression) gets median-of-N, plus anything force-listed via env.
+    // The headline JSON reports the median; raw samples land in
+    // BENCH_FULL.json.
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
+    val repeatFloor =
+      sys.env.getOrElse("SPARK_GRAFT_REPEAT_FLOOR_SEC", "0.5").toDouble
+    val forced: Set[String] = sys.env.getOrElse("SPARK_GRAFT_REPEAT_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
+      val s = xs.filter(_ >= 0.0).sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
     // per-query times stay comparable round-over-round.
     val samples = SparkEntry.all.map { q =>
-      q.name -> Seq.fill(if (repeatSet(q.name)) repeats else 1)(time(q))
+      val first = time(q)
+      val more =
+        if (repeats > 1 && (forced(q.name) || first < 0.0 || first >= repeatFloor))
+          Seq.fill(repeats - 1)(time(q))
+        else Seq.empty
+      q.name -> (first +: more)
     }
     val results = samples.map { case (k, v) => k -> median(v) }
     // Per-query values rounded to ms so the ONE JSON line stays inside a
-    // 2,000-char output tail at 79 queries (round-4 verdict #9: full-double
+    // 2,000-char output tail at 80 queries (round-4 verdict #9: full-double
     // values pushed the line past the captured tail and truncated 12
     // timings); the unrounded full map is preserved in BENCH_FULL.json.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

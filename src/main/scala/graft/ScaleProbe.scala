@@ -34,7 +34,10 @@ object ScaleProbe {
     // round 5: the part⋈lineitem promo join and the cluster-assignment
     // dedup (linear output — unlike the pair-list rows, its wall ratio IS
     // informative at scale).
-    "join_part_q14", "llm_dedup_cluster")
+    "join_part_q14", "llm_dedup_cluster",
+    // round 8: the bucketed kNN (IVF candidates; sub-quadratic claim is
+    // exactly what the wall ratio checks).
+    "llm_knn_bucketed")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, factorStr) = args.take(3)
@@ -52,7 +55,12 @@ object ScaleProbe {
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Same inter-query isolation as Bench (round-7 verdict #2): the
+      // state-heavy probes must not bleed cache/checkpoint blocks into the
+      // next measurement. Outside the timed region.
+      Cleanup.release(spark, blocking = true)
+      dt
     }
 
     // Warm the JVM/codegen on both directories before measuring.

@@ -25,12 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Same per-query state hygiene as Bench: drop cached DFs and
-      // leftover localCheckpoint RDDs so 79 queries in one session don't
-      // accumulate block-manager state.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Same per-query state hygiene as Bench (graft.Cleanup is the public
+      // form): drop cached DFs and leftover localCheckpoint RDDs so 80
+      // queries in one session don't accumulate block-manager state.
+      Cleanup.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

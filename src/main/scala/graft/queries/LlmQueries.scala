@@ -74,7 +74,8 @@ object LlmQueries {
     *   chunks   = ≤MemberChunks rows per distinct token set:
     *              (rep_id = min member doc_id, cmin = min member in this
     *              chunk — cmin = rep_id marks the rep's own chunk,
-    *              members sorted, bounded width) — persisted;
+    *              members sorted, bounded width, gsize = total members of
+    *              the group) — persisted;
     *   verified = exact-verified rep pairs at jac ≥ 0.8:
     *              (a_rep, b_rep, jac) — member-free, so the verify
     *              broadcast carries only token ids, never doc lists.
@@ -93,12 +94,19 @@ object LlmQueries {
     // member expansion); repeated invocations do NOT stack cache entries —
     // Spark's CacheManager dedupes by logical plan, so the same
     // (corpus, dir) reuses one small entry.
+    val w = Window.partitionBy(col("tids"))
     val chunks = docs
       .groupBy(col("tids"),
         pmod(xxhash64(col("doc_id")), lit(MemberChunks)).as("chunk"))
       .agg(min(col("doc_id")).as("cmin"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("rep_id", min(col("cmin")).over(Window.partitionBy(col("tids"))))
+      .withColumn("rep_id", min(col("cmin")).over(w))
+      // Group size over the same window (one window operator computes
+      // both): lets consumers restrict member re-attachment to multi-member
+      // groups — singletons dominate real corpora and contribute no intra
+      // pairs, so filtering on gsize > 1 is what keeps the intra-pair
+      // broadcast answer-bound instead of corpus-bound (round-7 ADVICE).
+      .withColumn("gsize", sum(size(col("members"))).over(w))
       .persist()
     // reps: exactly one row per distinct token set (the chunk holding the
     // group minimum — chunks partition the members, so only one chunk's
@@ -281,7 +289,11 @@ object LlmQueries {
     Q(
       "llm_neardup_minhash",
       (s, d) => {
-        val (chunks, verified) = lshRepGraph(s, d)
+        val (chunks, verified0) = lshRepGraph(s, d)
+        // Consumed three times below (two semi-joins + the pair join) —
+        // persist so the sig→band→candidate→verify pipeline runs once.
+        // Released by Cleanup.release / Bench / Verify like `chunks`.
+        val verified = verified0.persist()
         // Expand rep groups back to doc pairs: cross-group pairs inherit
         // the verified jac verbatim, intra-group pairs are exact
         // duplicates (jac = 1.0 ≥ τ). BOTH expansions repartition on the
@@ -295,8 +307,21 @@ object LlmQueries {
         // re-exchange). (The pair-LIST contract is still inherently
         // quadratic in cluster size — the scale-shaped output is
         // llm_dedup_cluster below.)
+        //
+        // The broadcast sides are ANSWER-bound, not corpus-bound (round-7
+        // ADVICE — broadcasting all of `chunks` put every doc_id on the
+        // driver, right back under the ceiling the chunking removed):
+        //   - ca/cb are semi-joined to the reps actually appearing in a
+        //     verified pair — on a realistic corpus (~0.01% near-dup
+        //     density) that is a vanishing fraction of reps, and on ANY
+        //     corpus it is bounded by the output being produced;
+        //   - the intra side keeps only gsize > 1 groups — singleton
+        //     groups (the overwhelming majority everywhere) contribute no
+        //     intra pairs.
         val ca = chunks.select(col("rep_id").as("a_rep"), col("members").as("a_members"))
+          .join(verified.select(col("a_rep")).distinct(), Seq("a_rep"), "left_semi")
         val cb = chunks.select(col("rep_id").as("b_rep"), col("members").as("b_members"))
+          .join(verified.select(col("b_rep")).distinct(), Seq("b_rep"), "left_semi")
         val crossPairs = verified
           .join(broadcast(ca), "a_rep")
           .select(explode(col("a_members")).as("a_m"), col("b_rep"), col("jac"))
@@ -305,14 +330,15 @@ object LlmQueries {
           .select(col("a_m"), explode(col("b_members")).as("b_m"), col("jac"))
           .select(least(col("a_m"), col("b_m")).as("a_id"),
             greatest(col("a_m"), col("b_m")).as("b_id"), col("jac"))
-        // Intra-group pairs across ALL chunk rows of each rep: explode one
-        // member per row, reshard, re-attach every chunk of the same rep by
-        // broadcast, keep b > a so each unordered pair appears exactly once
-        // (each doc lives in exactly one chunk).
-        val intraPairs = chunks
+        // Intra-group pairs across ALL chunk rows of each multi-member rep:
+        // explode one member per row, reshard, re-attach every chunk of the
+        // same rep by broadcast, keep b > a so each unordered pair appears
+        // exactly once (each doc lives in exactly one chunk).
+        val multi = chunks.where(col("gsize") > 1)
+        val intraPairs = multi
           .select(col("rep_id"), explode(col("members")).as("a_id"))
           .repartition(col("a_id"))
-          .join(broadcast(chunks.select(col("rep_id"), col("members"))), "rep_id")
+          .join(broadcast(multi.select(col("rep_id"), col("members"))), "rep_id")
           .select(col("a_id"), explode(col("members")).as("b_id"))
           .where(col("b_id") > col("a_id"))
           .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
@@ -361,9 +387,6 @@ object LlmQueries {
       "llm_dedup_cluster",
       (s, d) => {
         val (chunks, verified) = lshRepGraph(s, d)
-        // One label row per rep = the chunk rows holding each group's
-        // minimum (chunks partition the members, so exactly one qualifies).
-        val repRows = chunks.where(col("cmin") === col("rep_id"))
         // Iterative state is localCheckpoint'd EAGERLY each round, not just
         // persisted: each round's plan nests the previous one, so without
         // lineage truncation Catalyst re-analyzes an exponentially growing
@@ -374,15 +397,26 @@ object LlmQueries {
           .unionAll(verified.select(col("b_rep").as("src"), col("a_rep").as("dst")))
           .persist()
         val MaxIters = 30
-        var labels = repRows.select(col("rep_id"), col("rep_id").as("comp"))
+        // Labels only over ACTIVE reps — those with at least one verified
+        // edge (round-7 ADVICE: a label row per rep approaches corpus size
+        // on a mostly-unique corpus, which made every broadcast(labels)
+        // below an unbounded driver/executor ceiling). Edge-free reps never
+        // change label, so they are excluded from the iteration entirely
+        // and re-enter at the final assignment via coalesce(comp, rep_id).
+        // |labels| is then bounded by the near-dup answer, and the in-loop
+        // and pointer-jump broadcasts become legitimately small at any
+        // corpus size.
+        var labels = edges.select(col("src").as("rep_id")).distinct()
+          .select(col("rep_id"), col("rep_id").as("comp"))
           .localCheckpoint(true)
         var iter = 0
         var converged = false
         while (!converged && iter < MaxIters) {
           // broadcast(labels): checkpointed DFs carry the default (huge)
           // size estimate, so unhinted this plans as an SMJ that re-sorts
-          // the full edge set EVERY round. One label row per rep — the
-          // same small side the verify stage already broadcasts.
+          // the full edge set EVERY round. One label row per ACTIVE rep —
+          // answer-bound (see the labels seed above), so the hint is safe
+          // at any corpus size.
           val nbrMin = edges
             .join(broadcast(labels), col("dst") === col("rep_id"))
             .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
@@ -419,11 +453,16 @@ object LlmQueries {
         require(converged, s"label propagation did not converge in $MaxIters rounds")
         edges.unpersist()
         // Still alive on purpose: the FINAL labels checkpoint (one tiny row
-        // per rep) and lshRepGraph's `chunks` cache — both feed the lazy
-        // DataFrame returned below. Callers that run many queries in one
-        // session (Bench/Verify) clear them between queries.
-        chunks.join(broadcast(labels), "rep_id")
-          .select(explode(col("members")).as("doc_id"), col("comp").as("keep_id"))
+        // per active rep) and lshRepGraph's `chunks` cache — both feed the
+        // lazy DataFrame returned below. Callers that run many queries in
+        // one session (Bench/Verify) clear them between queries; library
+        // consumers call graft.Cleanup.release once results are consumed.
+        // Left join + coalesce re-admits edge-free reps (they keep
+        // themselves); broadcast stays legitimate because labels is
+        // answer-bound.
+        chunks.join(broadcast(labels), Seq("rep_id"), "left")
+          .select(explode(col("members")).as("doc_id"),
+            coalesce(col("comp"), col("rep_id")).as("keep_id"))
           .orderBy(col("doc_id"))
       },
       // Oracle: doc-level connected components by recursive reachability
@@ -484,8 +523,9 @@ object LlmQueries {
 
     // H: per-vector 3-NN for a bounded probe set against the full corpus —
     // dot-product + rank window with a deterministic n_id tiebreak. The
-    // probe×base join is the honest bounded baseline; the 100 TB path
-    // replaces `base` with LSH-bucketed candidates (same downstream window).
+    // probe×base join is the honest bounded baseline; the 100 TB path is
+    // llm_knn_bucketed (VectorQueries): the same probe set and downstream
+    // window with IVF-bucketed candidates instead of `base`.
     Q(
       "llm_knn_per_vector",
       (s, d) => {

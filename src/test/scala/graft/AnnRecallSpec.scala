@@ -18,15 +18,19 @@ import graft.functions.VectorOps
   */
 class AnnRecallSpec extends GraftSpec {
 
-  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
-    test(s"llm_ann_ivf recall@3 vs exact k-NN at $sf") {
-      val ann = SparkEntry.queries("llm_ann_ivf")(spark, sf)
+  // Both IVF consumers: the 50-probe ANN row and the 100-probe bucketed
+  // kNN (round-8: llm_knn_per_vector's scale path) share the candidate
+  // generation this suite guards.
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01);
+       (qname, probeMax) <- Seq(("llm_ann_ivf", 50), ("llm_knn_bucketed", 100))) {
+    test(s"$qname recall@3 vs exact k-NN at $sf") {
+      val ann = SparkEntry.queries(qname)(spark, sf)
         .select(col("q_id"), col("n_id")).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
       val e = Tables.embeddings(spark, sf).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val probe = e.where(col("vec_id") < 50)
+      val probe = e.where(col("vec_id") < probeMax)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val base = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
       val w = org.apache.spark.sql.expressions.Window

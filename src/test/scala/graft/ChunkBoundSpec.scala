@@ -30,34 +30,44 @@ class ChunkBoundSpec extends GraftSpec {
         lit("en").as("lang"), lit("src0").as("source")))
       .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
+    // try/finally (round-7 ADVICE): this spec materializes the persisted
+    // chunks AND runs the cluster query (final-labels localCheckpoint) —
+    // release both on every exit path so the shared test session stays
+    // clean for whatever suite runs next (mirrors LshRecallSpec /
+    // Bench.clearState).
     val (chunks, _) = LlmQueries.lshRepGraph(spark, dir)
-    val stats = chunks.agg(
-        max(size(col("members"))).as("max_width"),
-        count(lit(1)).as("rows"),
-        countDistinct(col("rep_id")).as("reps"))
-      .collect().head
-    val maxWidth = stats.getInt(0)
-    // 100000 docs over 256 hash chunks ≈ 391/chunk; 1000 leaves ~2.5×
-    // Poisson headroom while still failing loudly if chunking ever breaks
-    // (an unchunked group would come back as one 100000-wide row).
-    assert(maxWidth < 1000,
-      s"expected chunked member rows (~${n / 256} wide), got a $maxWidth-wide row")
-    assert(stats.getLong(1) <= 256 + 5,
-      s"expected ≤261 chunk rows (256 for the giant group + 5 singletons), got ${stats.getLong(1)}")
-    assert(stats.getLong(2) == 6L, s"expected 6 distinct reps, got ${stats.getLong(2)}")
+    try {
+      val stats = chunks.agg(
+          max(size(col("members"))).as("max_width"),
+          count(lit(1)).as("rows"),
+          countDistinct(col("rep_id")).as("reps"))
+        .collect().head
+      val maxWidth = stats.getInt(0)
+      // 100000 docs over 256 hash chunks ≈ 391/chunk; 1000 leaves ~2.5×
+      // Poisson headroom while still failing loudly if chunking ever breaks
+      // (an unchunked group would come back as one 100000-wide row).
+      assert(maxWidth < 1000,
+        s"expected chunked member rows (~${n / 256} wide), got a $maxWidth-wide row")
+      assert(stats.getLong(1) <= 256 + 5,
+        s"expected ≤261 chunk rows (256 for the giant group + 5 singletons), got ${stats.getLong(1)}")
+      assert(stats.getLong(2) == 6L, s"expected 6 distinct reps, got ${stats.getLong(2)}")
 
-    // The cluster-assignment query over the same chunked graph: every
-    // member of the giant group maps to doc 0, singletons keep themselves.
-    val out = SparkEntry.queries("llm_dedup_cluster")(spark, dir)
-      .groupBy((col("doc_id") < n).as("giant"))
-      .agg(count(lit(1)).as("n"),
-        min(col("keep_id")).as("min_keep"), max(col("keep_id")).as("max_keep"),
-        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("self_kept"))
-      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSet
-    assert(out.contains((true, n.toLong, 0L, 0L, 1L)),
-      s"giant group must collapse to keep_id 0 (only doc 0 keeps itself), got $out")
-    assert(out.contains((false, 5L, n.toLong, n + 4L, 5L)),
-      s"each distinct doc must keep itself, got $out")
+      // The cluster-assignment query over the same chunked graph: every
+      // member of the giant group maps to doc 0, singletons keep themselves.
+      val out = SparkEntry.queries("llm_dedup_cluster")(spark, dir)
+        .groupBy((col("doc_id") < n).as("giant"))
+        .agg(count(lit(1)).as("n"),
+          min(col("keep_id")).as("min_keep"), max(col("keep_id")).as("max_keep"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("self_kept"))
+        .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(out.contains((true, n.toLong, 0L, 0L, 1L)),
+        s"giant group must collapse to keep_id 0 (only doc 0 keeps itself), got $out")
+      assert(out.contains((false, 5L, n.toLong, n + 4L, 5L)),
+        s"each distinct doc must keep itself, got $out")
+    } finally {
+      chunks.unpersist()
+      Cleanup.release(spark, blocking = true)
+    }
   }
 }
