@@ -351,5 +351,35 @@ object TextQueries {
                  i -> array_to_string(toks[i:i+3], ' ')))) AS n_shingles
         FROM t
         WHERE len(toks) >= 4
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // H: corpus vocabulary histogram — top-k tokens by occurrence count
+    // with document frequency, the standard corpus-analysis companion to
+    // the per-doc token counts (vocab coverage / stopword discovery /
+    // tokenizer sanity checks). Scale shape: the explode is linear, the
+    // groupBy is ONE hash shuffle with map-side partial aggregation
+    // (count + distinct-doc partial), and the ordered limit plans as
+    // TakeOrderedAndProject per-partition heaps — no global sort at any
+    // corpus size. Deterministic total order: count desc, then token.
+    Q(
+      "llm_vocab_topk",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(toksAll(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("bigint").as("n_occ"),
+            countDistinct(col("doc_id")).cast("bigint").as("n_docs"))
+          .orderBy(col("n_occ").desc, col("tok"))
+          .limit(30)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, unnest($toksAllDuck) AS tok FROM documents)
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM t
+        GROUP BY tok
+        ORDER BY n_occ DESC, tok
+        LIMIT 30""")))
 }

@@ -52,6 +52,18 @@ class ChunkBoundSpec extends GraftSpec {
         s"expected ≤261 chunk rows (256 for the giant group + 5 singletons), got ${stats.getLong(1)}")
       assert(stats.getLong(2) == 6L, s"expected 6 distinct reps, got ${stats.getLong(2)}")
 
+      // gsize invariant (round 8): the broadcast bounding in
+      // llm_neardup_minhash keys on gsize > 1, so a wrong group size would
+      // silently drop intra-group pairs — pin it on both group shapes.
+      val g = chunks.agg(
+          min(when(col("rep_id") === 0, col("gsize"))).as("giant_min"),
+          max(when(col("rep_id") === 0, col("gsize"))).as("giant_max"),
+          max(when(col("rep_id") =!= 0, col("gsize"))).as("single_max"))
+        .collect().head
+      assert(g.getLong(0) == n.toLong && g.getLong(1) == n.toLong,
+        s"every chunk row of the giant group must carry gsize=$n, got $g")
+      assert(g.getLong(2) == 1L, s"singleton groups must carry gsize=1, got $g")
+
       // The cluster-assignment query over the same chunked graph: every
       // member of the giant group maps to doc 0, singletons keep themselves.
       val out = SparkEntry.queries("llm_dedup_cluster")(spark, dir)
