@@ -58,13 +58,23 @@ object Bench {
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
     // per-query times stay comparable round-over-round.
-    val samples = SparkEntry.all.map { q =>
-      val first = time(q)
-      val more =
-        if (repeats > 1 && (forced(q.name) || first < 0.0 || first >= repeatFloor))
-          Seq.fill(repeats - 1)(time(q))
-        else Seq.empty
-      q.name -> (first +: more)
+    //
+    // Repeats run as whole-set PASSES, not back-to-back: a host-level
+    // interference window lasting minutes (observed round 8: one run's
+    // minhash samples read [26.2, 32.5, 8.5] s on identical code — the
+    // machine, not the query) hits all back-to-back samples of one query
+    // and survives the median, but spread across passes each sample lands
+    // minutes apart, so the median keeps at least one clean reading.
+    val firsts = SparkEntry.all.map(q => q.name -> Seq(time(q)))
+    val repeatSet = SparkEntry.all.filter { q =>
+      val first = firsts.collectFirst { case (n, s) if n == q.name => s.head }.get
+      repeats > 1 && (forced(q.name) || first < 0.0 || first >= repeatFloor)
+    }
+    val extra: Map[String, Seq[Double]] =
+      (1 until repeats).flatMap(_ => repeatSet.map(q => q.name -> time(q)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val samples = firsts.map { case (k, first) =>
+      k -> (first ++ extra.getOrElse(k, Seq.empty))
     }
     val results = samples.map { case (k, v) => k -> median(v) }
     // Per-query values rounded to ms so the ONE JSON line stays inside a
