@@ -381,5 +381,57 @@ object TextQueries {
         FROM t
         GROUP BY tok
         ORDER BY n_occ DESC, tok
-        LIMIT 30""")))
+        LIMIT 30""")),
+
+    // H: benchmark decontamination — the standard train/eval n-gram overlap
+    // check (GPT-3/PaLM-style: flag a training document when it shares ≥ k
+    // n-grams with any benchmark document). Semantically distinct from the
+    // symmetric near-dup rows: the join is ASYMMETRIC — a bounded benchmark
+    // suite (~10⁴–10⁵ docs in practice; here the deterministic doc_id%20
+    // slice) against the full corpus. That asymmetry is the whole scale
+    // story: the benchmark's distinct grams BROADCAST, so the 100 TB corpus
+    // side never shuffles to join — one map-side BHJ, then a single
+    // answer-bound (doc, bench) count shuffle. Grams are per-doc DISTINCT
+    // on both sides, so count(*) of the join = |shared distinct grams|.
+    // At web scale one would additionally drop grams whose corpus document
+    // frequency exceeds a cap (stopword-like trigrams inflate candidates,
+    // not results); correctness here needs no cap and the oracle pins the
+    // uncapped semantics.
+    Q(
+      "llm_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(expr("sequence(1, size(toks) - 2)"),
+              i => array_join(slice(col("toks"), i, lit(3)), " "))).as("grams"))
+        val bench = docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("grams")).as("g"))
+        val corpus = docs.where(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+        corpus.join(broadcast(bench), "g")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).cast("bigint").as("shared_grams"))
+          .where(col("shared_grams") >= 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS grams
+          FROM (SELECT doc_id, $toksAllDuck AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        bench AS (
+          SELECT doc_id AS bench_id, unnest(grams) AS g
+          FROM docs WHERE doc_id % 20 = 0),
+        corpus AS (
+          SELECT doc_id, unnest(grams) AS g
+          FROM docs WHERE doc_id % 20 <> 0)
+        SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS shared_grams
+        FROM corpus JOIN bench USING (g)
+        GROUP BY doc_id, bench_id
+        HAVING count(*) >= 3
+        ORDER BY doc_id, bench_id""")))
 }

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Planted-contamination check for `llm_contamination` (the asymmetric
+  * benchmark-decontamination row): a corpus document embedding an exact
+  * ≥5-token span of a benchmark document shares ≥3 trigrams and MUST be
+  * flagged against exactly that benchmark doc; a corpus document sharing
+  * fewer than 3 trigrams must NOT be. The DuckDB hash equivalence is
+  * ParitySpec's job — this spec pins the SEMANTICS on a corpus where the
+  * ground truth is known by construction, and the plan shape (benchmark
+  * side broadcast, no corpus-side shuffle join) that the query's 100 TB
+  * comment claims.
+  */
+class ContaminationSpec extends GraftSpec {
+
+  test("planted benchmark span is flagged; sub-threshold overlap is not") {
+    val dir = Files.createTempDirectory("graft_contam").toString
+    val benchText = "zebra quokka wombat capisce xylophone quince jackal"
+    val rows = Seq(
+      // doc_id % 20 == 0 → the benchmark side.
+      (20L, benchText, "en", "bench"),
+      // Embeds a 5-token exact span of the benchmark doc → 3 shared
+      // trigrams ("quokka wombat capisce", "wombat capisce xylophone",
+      // "capisce xylophone quince") → flagged.
+      (21L, "intro words quokka wombat capisce xylophone quince outro", "en", "train"),
+      // Shares only a 4-token span → 2 shared trigrams → below k=3.
+      (22L, "padding quokka wombat capisce xylophone padding end", "en", "train"),
+      // No overlap at all.
+      (23L, "completely different tokens here nothing shared with bench", "en", "train"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("llm_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((21L, 20L, 3L)),
+      s"expected exactly the planted (21,20,3) contamination hit, got ${got.toSeq}")
+  }
+
+  test("plan: benchmark gram side broadcasts; corpus side never shuffle-joins") {
+    val p = SparkEntry.queries("llm_contamination")(spark, TestEnv.Sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast, plan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 100 TB corpus side must not shuffle to join, plan:\n${p.take(2000)}")
+  }
+}
