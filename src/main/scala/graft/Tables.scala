@@ -28,11 +28,25 @@ object Tables {
 
   /** `events` with `ts` normalized to a µs TimestampType — identical to what
     * DuckDB produces reading the same ns-precision file (SURVEY §1.2).
+    *
+    * `nanosAsLong` is only consulted during footer-schema inference (i.e.
+    * inside `spark.read.parquet`, which resolves the schema eagerly), so
+    * the conf is set for exactly that call and restored in `finally` —
+    * execution of the returned DataFrame after restore is verified to work
+    * (probe, round 8) and the reader no longer leaves a session-conf
+    * mutation behind (the nit carried since round 5).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try table(spark, dir, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** SURVEY rule R2: aggregate monetary/quantity doubles as exact decimals so

@@ -30,4 +30,25 @@ class CleanupSpec extends GraftSpec {
     assert(stillStored.isEmpty,
       s"release(blocking) must leave no stored RDD blocks, got ${stillStored.toSeq}")
   }
+
+  test("Tables.events leaves the session conf untouched (r5-carried nit)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // Case 1: default state ("false" via the conf's default — getOption
+    // reports defaults, never None) must be preserved, and the DataFrame
+    // must still execute correctly post-restore (the conf is consulted
+    // only at footer-schema inference, which read.parquet does eagerly).
+    spark.conf.unset(key)
+    val before = spark.conf.getOption(key)
+    val df = Tables.events(spark, TestEnv.Sf001)
+    assert(spark.conf.getOption(key) == before,
+      "events reader must not leak a session-conf mutation")
+    assert(df.count() > 0, "events must execute after the conf is restored")
+
+    // Case 2: a caller's own explicit (non-default) value survives.
+    spark.conf.set(key, "true")
+    Tables.events(spark, TestEnv.Sf001)
+    assert(spark.conf.get(key) == "true",
+      "events reader must restore the caller's prior conf value")
+    spark.conf.unset(key)
+  }
 }
