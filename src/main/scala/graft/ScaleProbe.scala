@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * are constant-bounded (ratio ≈ 1, uninformative) or their OUTPUT grows
   * quadratically on this near-dup-dense corpus (answer-bound, measured in
   * LlmQueries), so wall-ratio says nothing about plan quality.
+  * `llm_contamination` is excluded for the same reason in staged form:
+  * the key-shifted copies repeat TEXT verbatim, so every gram appears in
+  * N× bench docs AND N× corpus docs and the true answer grows N² — an
+  * artifact of the staging, not the operator (in a real scale-up the
+  * benchmark suite is fixed and the corpus side is one map-side
+  * broadcast join, linear by plan shape — pinned in ContaminationSpec).
   *
   * Usage: ScaleProbe <baseDir> <scaledDir> <factor>
   */
