@@ -290,8 +290,12 @@ object FnQueries {
     Q(
       "fn_array",
       (s, d) => {
+        // explode_outer: avoids InferFiltersFromGenerate re-evaluating the
+        // split below the projection (2× tokenize CPU on a full-corpus
+        // scan — see the llm_contamination pathology note, SURVEY §6 r8).
+        // Identical results: a null token row fails the length filter.
         Tables.documents(s, d)
-          .withColumn("token", explode(split(col("text"), " ")))
+          .withColumn("token", explode_outer(split(col("text"), " ")))
           .filter(length(col("token")) > 0)
           .groupBy(col("lang"))
           .agg(

@@ -364,8 +364,14 @@ object TextQueries {
     Q(
       "llm_vocab_topk",
       (s, d) => {
+        // explode_outer + null guard: plain explode gets an inferred
+        // size(toks)>0 filter that re-runs the split+filter tokenize per
+        // doc (2× CPU on the corpus pass — the llm_contamination
+        // pathology, SURVEY §6 r8). The isNotNull evaluates on the
+        // exploded column, not the pipeline.
         Tables.documents(s, d)
-          .select(col("doc_id"), explode(toksAll(col("text"))).as("tok"))
+          .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
+          .where(col("tok").isNotNull)
           .groupBy(col("tok"))
           .agg(count(lit(1)).cast("bigint").as("n_occ"),
             countDistinct(col("doc_id")).cast("bigint").as("n_docs"))

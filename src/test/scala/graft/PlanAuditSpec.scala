@@ -117,4 +117,27 @@ class PlanAuditSpec extends GraftSpec {
         s"$q must not collapse to a single partition:\n${p.take(1200)}")
     }
   }
+
+  test("full-corpus explodes do not re-tokenize below the Generate (r8 pathology)") {
+    // InferFiltersFromGenerate + pushdown substitutes the exploded array
+    // expression into a Filter below the projection, re-running the whole
+    // tokenize/gram pipeline per document (measured 2× CPU — 3.1 s → 1.3 s
+    // on llm_contamination at sf0.1). These rows use explode_outer so the
+    // inferred filter never exists; this pin fails if a refactor brings
+    // the double evaluation back in any form.
+    // Needles: the EXPENSIVE stage that must never appear in a Filter.
+    // llm_contamination keeps an explicit (cheap, required) size(toks)>=3
+    // guard in its scan filter — Spark's sequence(1, n) turns descending
+    // for n < 1 — so its needle is the trigram assembly, not the split.
+    val needles = Seq(
+      "fn_array" -> "split(",
+      "llm_vocab_topk" -> "split(",
+      "llm_contamination" -> "array_join(")
+    for ((q, needle) <- needles) {
+      val dup = plan(q).linesIterator
+        .filter(l => l.contains("Filter") && l.contains(needle))
+      assert(dup.isEmpty,
+        s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
+    }
+  }
 }
