@@ -447,5 +447,36 @@ object TextQueries {
         FROM corpus JOIN bench USING (g)
         GROUP BY doc_id, bench_id
         HAVING count(*) >= 3
-        ORDER BY doc_id, bench_id""")))
+        ORDER BY doc_id, bench_id""")),
+
+    // H: deterministic stratified sampling — the data-mixing primitive
+    // (per-language rates here; any metadata stratum works the same way).
+    // The sampling key is a salted md5 of the doc id mapped to [0,1), NOT
+    // rand(): a task retried on another executor must keep the same rows
+    // (exactly-once at scale), reruns must be reproducible, and the oracle
+    // must agree bit-for-bit. Scale shape: a map-only predicate — ZERO
+    // shuffles to sample 100 TB (the orderBy below exists only for the
+    // stable oracle hash). The u = key/2^60 comparison is engine-portable:
+    // int→double conversion and double division are IEEE-identical in
+    // both engines.
+    Q(
+      "llm_sample_stratified",
+      (s, d) => {
+        val key = conv(substring(md5(
+            concat(lit("graft-sample-v1:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        val u = key.cast("double") / lit(1152921504606846976L) // 2^60
+        val rate = when(col("lang") === "en", 0.5).otherwise(0.2)
+        Tables.documents(s, d)
+          .where(u < rate)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ('0x' || substr(md5('graft-sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                / 1152921504606846976.0
+              < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
+        ORDER BY doc_id""")))
 }

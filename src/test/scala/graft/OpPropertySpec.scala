@@ -139,4 +139,29 @@ class OpPropertySpec extends GraftSpec {
       assert(g.map(_.getInt(3)).sorted.toSeq == (1 to g.size).toSeq, "row_numbers are 1..n")
     }
   }
+
+  test("stratified sample: deterministic across runs, subset, rates honored") {
+    val q = SparkEntry.queries("llm_sample_stratified")
+    val run1 = q(spark, TestEnv.Sf01).collect().map(_.getLong(0)).toSeq
+    val run2 = q(spark, TestEnv.Sf01).collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2, "a retried/re-run sample must keep exactly the same rows")
+
+    val docs = Tables.documents(spark, TestEnv.Sf01)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run1.forall(docs.contains), "sample must be a subset of the corpus")
+
+    // Rates: md5 is uniform enough that a 4σ binomial band never flakes
+    // (deterministic data + deterministic key = this is really one fixed
+    // draw; the band just documents the expected calibration).
+    val keptByLang = run1.groupBy(docs).view.mapValues(_.size)
+    val totByLang = docs.values.groupBy(identity).view.mapValues(_.size)
+    for ((lang, tot) <- totByLang) {
+      val rate = if (lang == "en") 0.5 else 0.2
+      val kept = keptByLang.getOrElse(lang, 0)
+      val sigma = math.sqrt(tot * rate * (1 - rate))
+      assert(math.abs(kept - tot * rate) <= 4 * sigma + 1,
+        s"$lang: kept $kept of $tot at rate $rate (expected ${tot * rate} ± ${4 * sigma + 1})")
+    }
+  }
 }
