@@ -478,5 +478,62 @@ object TextQueries {
         WHERE ('0x' || substr(md5('graft-sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                 / 1152921504606846976.0
               < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
+        ORDER BY doc_id""")),
+
+    // H: within-document repetition signals (Gopher-style quality rules:
+    // "top 2-gram fraction > τ → drop") — the curation filter the
+    // cross-doc dedup family does NOT cover: a document can be unique in
+    // the corpus yet internally boilerplate. Scale shape: every metric is
+    // a per-doc lambda expression — ZERO shuffles over the corpus (the
+    // orderBy exists only for the stable oracle hash). The top-frequency
+    // mode is O(distinct×n) per doc via transform+filter — constant work
+    // per document, engine-portable (both engines share the lambda
+    // vocabulary), no explode and therefore no Generate filter-inference
+    // double-eval either.
+    Q(
+      "llm_repetition",
+      (s, d) => {
+        def topFrac(arr: Column): Column =
+          array_max(transform(array_distinct(arr),
+            u => size(filter(arr, x => x === u)))).cast("double") / size(arr)
+        val bgs = transform(expr("sequence(1, size(toks) - 1)"),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + lit(1))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"), bgs.as("bgs"))
+          .select(
+            col("doc_id"),
+            topFrac(col("toks")).as("top_tok_frac"),
+            topFrac(col("bgs")).as("top_bigram_frac"),
+            (size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks"))).as("distinct_ratio"))
+          .withColumn("repetitive",
+            col("top_bigram_frac") > 0.08 || col("top_tok_frac") > 0.12)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        b AS (
+          SELECT doc_id, toks,
+                 list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bgs
+          FROM t WHERE len(toks) >= 2),
+        m AS (
+          SELECT doc_id,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                   u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                   / len(toks) AS top_tok_frac,
+                 CAST(list_max(list_transform(list_distinct(bgs),
+                   u -> len(list_filter(bgs, x -> x = u)))) AS DOUBLE)
+                   / len(bgs) AS top_bigram_frac,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) AS distinct_ratio
+          FROM b)
+        SELECT doc_id, top_tok_frac, top_bigram_frac, distinct_ratio,
+               (top_bigram_frac > 0.08 OR top_tok_frac > 0.12) AS repetitive
+        FROM m
         ORDER BY doc_id""")))
 }

@@ -140,4 +140,15 @@ class PlanAuditSpec extends GraftSpec {
         s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
     }
   }
+
+  test("per-doc map-only rows shuffle once at most (the oracle-ordering sort)") {
+    // llm_repetition and llm_sample_stratified claim ZERO corpus shuffles;
+    // the only Exchange allowed is the rangepartitioning for the final
+    // deterministic orderBy.
+    for (q <- Seq("llm_repetition", "llm_sample_stratified")) {
+      val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
+      assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
+        s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
+    }
+  }
 }
