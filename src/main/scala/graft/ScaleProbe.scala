@@ -43,7 +43,12 @@ object ScaleProbe {
     "join_part_q14", "llm_dedup_cluster",
     // round 8: the bucketed kNN (IVF candidates; sub-quadratic claim is
     // exactly what the wall ratio checks).
-    "llm_knn_bucketed")
+    "llm_knn_bucketed",
+    // round 8 (third session): the two new map-only curation rows — both
+    // plan-pinned to zero corpus shuffles, so the probe should read ≈
+    // linear; a super-linear flag here means the plan pin and reality
+    // diverged.
+    "llm_sample_stratified", "llm_repetition")
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, factorStr) = args.take(3)
