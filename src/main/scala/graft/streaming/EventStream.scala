@@ -34,6 +34,12 @@ object EventStream {
 
   /** Streaming scan of `$dir/events.parquet`, normalized to the exact same
     * schema/values as `Tables.events`.
+    *
+    * Unlike the batch reader (which since round 8 scopes `nanosAsLong` to
+    * its eager footer-schema inference and restores the caller's value),
+    * the STREAMING reader must leave the conf set for the session: each
+    * micro-batch converts parquet footers asynchronously for the whole
+    * lifetime of the query, so a scoped restore would race the stream.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -4,8 +4,12 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-/** Planted-contamination check for `llm_contamination` (the asymmetric
-  * benchmark-decontamination row): a corpus document embedding an exact
+/** Planted-semantics checks for the round-8 curation rows (known-answer
+  * corpora built in place; the DuckDB hash equivalence is ParitySpec's
+  * job).
+  *
+  * `llm_contamination` (the asymmetric benchmark-decontamination row): a
+  * corpus document embedding an exact
   * ≥5-token span of a benchmark document shares ≥3 trigrams and MUST be
   * flagged against exactly that benchmark doc; a corpus document sharing
   * fewer than 3 trigrams must NOT be. The DuckDB hash equivalence is
@@ -39,6 +43,32 @@ class ContaminationSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((21L, 20L, 3L)),
       s"expected exactly the planted (21,20,3) contamination hit, got ${got.toSeq}")
+  }
+
+  test("repetition metrics: planted extremes land exactly") {
+    val dir = Files.createTempDirectory("graft_rep").toString
+    val rows = Seq(
+      // All-identical tokens: top_tok_frac = 1, top_bigram_frac = 1,
+      // distinct_ratio = 1/10, repetitive.
+      (1L, Seq.fill(10)("spam").mkString(" "), "en", "t"),
+      // All-distinct tokens (every bigram also unique): top_tok_frac =
+      // 1/10, top_bigram_frac = 1/9, distinct_ratio = 1 — 1/9 > 0.08 and
+      // 1/10 < 0.12, so the bigram rule alone flags it (10 tokens is
+      // below the scale where the thresholds are meaningful; the planted
+      // point only pins the arithmetic, not the policy).
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "t"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("llm_repetition")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 1.0, 1.0, 0.1, true),
+      (2L, 0.1, 1.0 / 9.0, 1.0, true)),
+      s"planted repetition extremes mismatch: $got")
   }
 
   test("plan: benchmark gram side broadcasts; corpus side never shuffle-joins") {
