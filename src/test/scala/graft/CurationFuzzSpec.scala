@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Randomized cross-engine parity for the text-curation rows.
+  *
+  * ParitySpec proves Spark==DuckDB on the driver's fixed corpus; this spec
+  * proves the TOKENIZATION SEMANTICS agree beyond it — a seeded random
+  * corpus salted with the inputs the fixed corpus never contains: empty
+  * text, whitespace-only text, a lone token, runs of repeated spaces
+  * (empty split fragments), unicode (combining bytes under md5), pure
+  * punctuation, and giant single-token repetition. Any Spark↔DuckDB
+  * divergence in split/filter/md5/list semantics on those inputs shows up
+  * here as a row diff long before a driver corpus could trip it.
+  */
+class CurationFuzzSpec extends GraftSpec {
+
+  private val Queries = Seq(
+    "llm_repetition", "llm_token_count", "llm_sample_stratified",
+    "llm_vocab_topk", "llm_fingerprint", "llm_contamination")
+
+  test("random+adversarial corpus: curation rows agree with DuckDB") {
+    val dir = Files.createTempDirectory("graft_fuzz").toString
+    val rnd = new Random(0xF022)
+    val words = Vector("the", "héllo", "wörld", "a", "b,", "x.y", "--", "ζ",
+      "token", "TOKEN", "tok", "42", "0.5", "spam", "data{}", "\\q")
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val adversarial = Seq(
+      "",                       // empty text → empty token list
+      "   ",                    // whitespace only → all fragments filtered
+      "one",                    // single token — below every n-gram guard
+      "a  b   c",               // repeated spaces → empty split fragments
+      "spam " * 50 + "spam",    // giant within-doc repetition
+      "...!!!???",              // punctuation-only token
+      "é é é é é é")            // unicode repetition
+    val texts = adversarial ++ (1 to 60).map(_ => sentence(1 + rnd.nextInt(40)))
+    val langs = Vector("en", "de", "zh")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, langs(i % langs.size), s"src${i % 4}")
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    Class.forName("org.duckdb.DuckDBDriver")
+    val con = DriverManager.getConnection("jdbc:duckdb:")
+    val st = con.createStatement()
+    st.execute("SET TimeZone='UTC'")
+    // Spark writes a part-file DIRECTORY; glob it for DuckDB.
+    st.execute(s"CREATE VIEW documents AS SELECT * FROM " +
+      s"read_parquet('$dir/documents.parquet/*.parquet')")
+    st.close()
+    try {
+      for (q <- SparkEntry.all if Queries.contains(q.name); sql <- q.oracle) {
+        val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+        val (dCols, dRows) = TestEnv.duckRows(con, sql)
+        assert(sCols == dCols, s"${q.name}: column sets differ")
+        assert(sRows.size == dRows.size,
+          s"${q.name}: row counts differ spark=${sRows.size} duckdb=${dRows.size}")
+        sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+          assert(s == d, s"${q.name} row $i differs:\n  spark : $s\n  duckdb: $d")
+        }
+      }
+    } finally con.close()
+  }
+}
