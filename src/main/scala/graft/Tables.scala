@@ -35,19 +35,31 @@ object Tables {
     * execution of the returned DataFrame after restore is verified to work
     * (probe, round 8) and the reader no longer leaves a session-conf
     * mutation behind (the nit carried since round 5).
+    *
+    * The set/read/restore window is synchronized (round-8 ADVICE): two
+    * concurrent `events()` calls could otherwise interleave so one call
+    * restores the conf to false while the other is still inside footer
+    * inference, failing with the NANOS error the set exists to avoid. The
+    * lock serializes this method against itself; a concurrent NON-events
+    * parquet read on the same session merely sees `nanosAsLong=true` during
+    * the brief inference window, which is harmless (it only widens what a
+    * reader would accept, and no other test table carries ns timestamps).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val df =
+    val df = nanosLock.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       try table(spark, dir, "events")
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
+    }
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  private val nanosLock = new Object
 
   /** SURVEY rule R2: aggregate monetary/quantity doubles as exact decimals so
     * sums are order-independent and engine-exact.

@@ -129,15 +129,30 @@ class PlanAuditSpec extends GraftSpec {
     // llm_contamination keeps an explicit (cheap, required) size(toks)>=3
     // guard in its scan filter — Spark's sequence(1, n) turns descending
     // for n < 1 — so its needle is the trigram assembly, not the split.
+    //
+    // maxToStringFields is raised for the stringification (round-8
+    // ADVICE): Spark truncates long expression trees in plan strings
+    // ("... N more fields"), so a reintroduced inferred filter whose
+    // rendering happened to truncate before the needle would silently
+    // pass an absence assertion. With the limit at 10⁵ nothing in these
+    // plans truncates and the pin stays falsifiable.
     val needles = Seq(
       "fn_array" -> "split(",
       "llm_vocab_topk" -> "split(",
       "llm_contamination" -> "array_join(")
-    for ((q, needle) <- needles) {
-      val dup = plan(q).linesIterator
-        .filter(l => l.contains("Filter") && l.contains(needle))
-      assert(dup.isEmpty,
-        s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
+    val key = "spark.sql.debug.maxToStringFields"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "100000")
+    try {
+      for ((q, needle) <- needles) {
+        val dup = plan(q).linesIterator
+          .filter(l => l.contains("Filter") && l.contains(needle))
+        assert(dup.isEmpty,
+          s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
 
