@@ -55,6 +55,33 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Probe bracket (round-8 verdict #3): host capacity varies EXTERNALLY
+    // (round-8 ledger: identical code read 52.5 s vs 87 s across boots;
+    // idle time does not restore capacity), so a bench total is only
+    // admissible evidence when bracketed by healthy probe readings. The
+    // readings used to live only in prose — recording them in the sidecar
+    // lets any future swing adjudicate itself from the artifact alone.
+    // Shelling out to the SAME tools/host_probe.py keeps the numbers in
+    // the units the round-8 incident calibrated (aggregate >= 2.5e8 it/s
+    // healthy, <= 1.5e8 do not bench); a JVM-side burn would need fresh
+    // calibration and is JIT-elimination-prone. Best-effort: null if
+    // python3 or the script is unavailable.
+    def probe(): String = try {
+      val pb = new ProcessBuilder("python3", "/root/repo/tools/host_probe.py")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      val num = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
+      val agg = s"aggregate=($num)".r.findFirstMatchIn(out).map(_.group(1))
+      val single = s"single=($num)".r.findFirstMatchIn(out).map(_.group(1))
+      (agg, single) match {
+        case (Some(a), Some(s)) => s"""{"agg":$a,"single":$s}"""
+        case _                  => "null"
+      }
+    } catch { case _: Throwable => "null" }
+    val probeBefore = probe()
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
     // per-query times stay comparable round-over-round.
@@ -76,6 +103,7 @@ object Bench {
     val samples = firsts.map { case (k, first) =>
       k -> (first ++ extra.getOrElse(k, Seq.empty))
     }
+    val probeAfter = probe() // after the last timed query, before teardown
     val results = samples.map { case (k, v) => k -> median(v) }
     // Per-query values rounded to ms so the ONE JSON line stays inside a
     // 2,000-char output tail at 80 queries (round-4 verdict #9: full-double
@@ -93,7 +121,8 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"total":$total,"sf":"$sfDir","queries":$full,"samples":$fullSamples}""")
+      s"""{"total":$total,"sf":"$sfDir","probe_before":$probeBefore,""" +
+        s""""probe_after":$probeAfter,"queries":$full,"samples":$fullSamples}""")
     catch { case _: Throwable => () } // sidecar is best-effort
     spark.stop()
     println(line) // last stdout line: survives tail-capture intact
