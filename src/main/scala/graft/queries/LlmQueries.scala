@@ -198,7 +198,10 @@ object LlmQueries {
     // element order, so a distinct-then-slice key diverges between engines).
     // Same shuffle shape as exact dedup but actually collapses groups on
     // this corpus (23 multi-doc groups at sf0.01). Spark slice(arr,1,8) and
-    // DuckDB toks[1:8] both take elements 1..8.
+    // DuckDB toks[1:8] both take elements 1..8. A token-LESS doc (empty /
+    // whitespace-only text) keys to the EMPTY STRING: Spark's
+    // array_join([]) is '' but DuckDB's array_to_string([]) is NULL
+    // (CurationFuzzSpec caught the divergence), so the oracle coalesces.
     Q(
       "llm_dedup_norm",
       (s, d) => {
@@ -216,8 +219,8 @@ object LlmQueries {
       oracle = Some(s"""
         WITH t AS (
           SELECT doc_id,
-                 array_to_string((list_filter(
-                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' ') AS key
+                 coalesce(array_to_string((list_filter(
+                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '), '') AS key
           FROM documents)
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups, key
         FROM t

@@ -22,7 +22,15 @@ class CurationFuzzSpec extends GraftSpec {
 
   private val Queries = Seq(
     "llm_repetition", "llm_token_count", "llm_sample_stratified",
-    "llm_vocab_topk", "llm_fingerprint", "llm_contamination")
+    "llm_vocab_topk", "llm_fingerprint", "llm_contamination",
+    // Near-dup family (round-8 verdict #4): same tokenize/md5/list
+    // adversarial surface as the rows above, plus the 0/0-Jaccard edge
+    // (two empty token sets) and token-less docs vanishing from the
+    // SimHash fingerprint set. All four self-bound their id range
+    // (doc_id < 200 / < 150), and the fuzz ids are 0..66, so the
+    // all-pairs joins stay at ~2.2k pairs.
+    "llm_neardup_jaccard", "llm_neardup_shingle", "llm_simhash_neardup",
+    "llm_dedup_norm")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val dir = Files.createTempDirectory("graft_fuzz").toString
