@@ -45,6 +45,34 @@ class ContaminationSpec extends GraftSpec {
       s"expected exactly the planted (21,20,3) contamination hit, got ${got.toSeq}")
   }
 
+  test("DF cap: a stopword-like gram stops counting toward contamination") {
+    val dir = Files.createTempDirectory("graft_contam_cap").toString
+    // Benchmark doc 40 has 4 trigrams. Doc 41 embeds the full span (4
+    // shared grams -> flagged uncapped). Docs 42..47 each carry the
+    // "s1 s2 s3 s4" prefix, pushing the corpus DF of trigrams "s1 s2 s3"
+    // and "s2 s3 s4" to 7 > DfCap=5, so the capped query drops both and
+    // doc 41 falls to 2 shared grams — below k=3, unflagged. The planted
+    // docs themselves share only those 2 (now-dropped) grams, so they are
+    // never flagged either way.
+    val rows = Seq((40L, "s1 s2 s3 s4 s5 s6", "en", "bench"),
+      (41L, "intro s1 s2 s3 s4 s5 s6 outro", "en", "train")) ++
+      (42L to 47L).map(i => (i, s"s1 s2 s3 s4 filler$i tail$i", "en", "train"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val uncapped = SparkEntry.queries("llm_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(uncapped == Seq((41L, 40L, 4L)),
+      s"uncapped must flag the planted span with all 4 grams, got $uncapped")
+    val capped = SparkEntry.queries("llm_contamination_capped")(spark, dir)
+      .collect().toSeq
+    assert(capped.isEmpty,
+      s"with the two high-DF grams dropped, doc 41 shares only 2 grams and " +
+        s"must fall below k=3, got $capped")
+  }
+
   test("repetition metrics: planted extremes land exactly") {
     val dir = Files.createTempDirectory("graft_rep").toString
     val rows = Seq(
@@ -72,11 +100,13 @@ class ContaminationSpec extends GraftSpec {
   }
 
   test("plan: benchmark gram side broadcasts; corpus side never shuffle-joins") {
-    val p = SparkEntry.queries("llm_contamination")(spark, TestEnv.Sf001)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"benchmark grams must broadcast, plan:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"the 100 TB corpus side must not shuffle to join, plan:\n${p.take(2000)}")
+    for (q <- Seq("llm_contamination", "llm_contamination_capped")) {
+      val p = SparkEntry.queries(q)(spark, TestEnv.Sf001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: benchmark grams must broadcast, plan:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the 100 TB corpus side must not shuffle to join, plan:\n${p.take(2000)}")
+    }
   }
 }

@@ -23,6 +23,10 @@ class CurationFuzzSpec extends GraftSpec {
   private val Queries = Seq(
     "llm_repetition", "llm_token_count", "llm_sample_stratified",
     "llm_vocab_topk", "llm_fingerprint", "llm_contamination",
+    // The 16-word fuzz vocabulary makes high-DF trigrams common, so the
+    // DF cap genuinely bites on this corpus (unlike the driver's sf0.01,
+    // where it is output-neutral).
+    "llm_contamination_capped",
     // Near-dup family (round-8 verdict #4): same tokenize/md5/list
     // adversarial surface as the rows above, plus the 0/0-Jaccard edge
     // (two empty token sets) and token-less docs vanishing from the
