@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   * artifact of the staging, not the operator (in a real scale-up the
   * benchmark suite is fixed and the corpus side is one map-side
   * broadcast join, linear by plan shape — pinned in ContaminationSpec).
+  * `llm_contamination_capped` doubly so: staging also multiplies every
+  * gram's corpus DF by N, so the fixed cap drops a different gram set at
+  * each scale and the staged answer is not even monotone in N.
   *
   * Usage: ScaleProbe <baseDir> <scaledDir> <factor>
   */
