@@ -166,4 +166,35 @@ class PlanAuditSpec extends GraftSpec {
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
     }
   }
+
+  test("minhash candidate distinct adds no exchange above the pair reshard") {
+    // Round-9 replaced the packed-long candidate key with a two-column
+    // (a_rep, b_rep) distinct (round-8 verdict #1: the packing collided rep
+    // ids >= 2^32). The design comment (LlmQueries lshRepGraph step 4)
+    // claims the change costs no extra shuffle: repartition(a_rep) already
+    // satisfies the distinct's ClusteredDistribution (a_rep is a subset of
+    // the grouping keys), so the ~6x per-band pair multiplicity collapses
+    // WITHIN the reshard stage and no per-pair row ever crosses the wire.
+    // Pin the exact stage shape: final + partial HashAggregate on the pair,
+    // then the expansion Generate, then the REPARTITION_BY_COL exchange —
+    // with no Exchange between the aggregates and the Generate. Anchors are
+    // operator-header lines (never expression interiors), so plan-string
+    // truncation (round-8 ADVICE caveat) cannot blind this pin.
+    val lines = plan("llm_neardup_minhash").linesIterator.toVector
+    def pairAgg(l: String) =
+      l.contains("HashAggregate(keys=[a_rep#") && l.contains(", b_rep#") &&
+        l.contains("functions=[]")
+    val i = lines.indexWhere(pairAgg)
+    assert(i >= 0, "candidate-distinct HashAggregate on (a_rep, b_rep) not found")
+    assert(pairAgg(lines(i + 1)),
+      s"expected back-to-back partial+final pair aggregates, got:\n${lines(i + 1)}")
+    val gen = lines.indexWhere(_.contains("Generate explode(rest#"), i + 2)
+    assert(gen >= 0, "pair-expansion Generate not found below the distinct")
+    val between = lines.slice(i + 2, gen).filter(_.contains("Exchange"))
+    assert(between.isEmpty,
+      s"candidate distinct must not add a shuffle, got:\n${between.mkString("\n")}")
+    assert(lines(gen + 1).contains("Exchange hashpartitioning(a_rep#") &&
+      lines(gen + 1).contains("REPARTITION_BY_COL"),
+      s"expected the a_rep reshard directly under the Generate:\n${lines(gen + 1)}")
+  }
 }
