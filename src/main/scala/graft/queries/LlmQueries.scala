@@ -155,15 +155,24 @@ object LlmQueries {
       .distinct()
     // 5. verify once per rep pair on sorted token-ID arrays (the
     //    sorted-merge intersect count is the allocation-free fast path).
-    //    Only (rep_id, tids) is broadcast — member lists stay out of the
-    //    verify path entirely and are re-attached chunk-by-chunk in the
-    //    consumers.
+    //    The reps sides join WITHOUT broadcast hints (round-9 verdict #1):
+    //    reps ≈ docs on a mostly-unique corpus, so a hint here ships the
+    //    tokenized corpus to the driver and every executor — the same
+    //    corpus-bound ceiling the chunking/semi-join work removed from the
+    //    member path. Unhinted, the a_rep join reuses the reshard exchange
+    //    already under `cand` and each reps side pays one linear keyed
+    //    shuffle; at bench SF the auto-broadcast threshold still picks BHJ
+    //    (reps are KBs), so the small-scale physical plan is unchanged.
+    //    The corpus-bound absence is pinned by PlanAuditSpec under
+    //    autoBroadcastJoinThreshold=-1, where only hints broadcast.
+    //    Member lists stay out of the verify path entirely and are
+    //    re-attached chunk-by-chunk in the consumers.
     val ga = reps.select(col("rep_id").as("a_rep"), col("tids").as("a_t"))
     val gb = reps.select(col("rep_id").as("b_rep"), col("tids").as("b_t"))
     val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
       .cast("int")
     val verified = cand
-      .join(broadcast(ga), "a_rep").join(broadcast(gb), "b_rep")
+      .join(ga, "a_rep").join(gb, "b_rep")
       .select(col("a_rep"), col("b_rep"),
         (inter.cast("double") /
           (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))

@@ -13,9 +13,41 @@ package graft
   */
 class PlanAuditSpec extends GraftSpec {
 
-  private def plan(name: String): String =
+  /** Every pin renders plans with maxToStringFields raised (round-8 ADVICE,
+    * closed round 10): Spark truncates long expression trees in plan
+    * strings ("... N more fields"), so a needle whose rendering happened to
+    * truncate would silently pass an absence assertion or fail a presence
+    * one. Rendering-only conf — safe to set on the shared session.
+    */
+  private def untruncated(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.set("spark.sql.debug.maxToStringFields", "100000")
+
+  private def plan(name: String): String = {
+    untruncated(spark)
     SparkEntry.queries(name)(spark, TestEnv.Sf01)
       .queryExecution.executedPlan.toString
+  }
+
+  /** Plan `name` in a child session with auto-broadcast DISABLED: at
+    * threshold -1 only broadcast() hints produce a BroadcastExchange, so
+    * the plan shows exactly which sides the code PROMISES are bounded —
+    * sf0.01's everything-fits-in-10MB sizes can no longer mask a
+    * corpus-bound hint (round-9 verdict #1). newSession() scopes the conf
+    * (own SQLConf, shared context), so parallel suites keep their plans.
+    */
+  private def planNoAutoBroadcast(name: String): String = {
+    val s = spark.newSession()
+    untruncated(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // The LSH/IVF builders persist() intermediates and the CacheManager is
+    // shared + dedupes by logical plan, so an entry registered earlier by a
+    // default-conf suite would hand this pin the OLD compile (auto-BHJ) via
+    // the embedded InMemoryRelation print. Clear first so registration
+    // happens under the pinned conf; parallel suites merely recompute.
+    s.sharedState.cacheManager.clearCache()
+    SparkEntry.queries(name)(s, TestEnv.Sf01)
+      .queryExecution.executedPlan.toString
+  }
 
   private def assertHas(name: String, needle: String): Unit = {
     val p = plan(name)
@@ -129,30 +161,17 @@ class PlanAuditSpec extends GraftSpec {
     // llm_contamination keeps an explicit (cheap, required) size(toks)>=3
     // guard in its scan filter — Spark's sequence(1, n) turns descending
     // for n < 1 — so its needle is the trigram assembly, not the split.
-    //
-    // maxToStringFields is raised for the stringification (round-8
-    // ADVICE): Spark truncates long expression trees in plan strings
-    // ("... N more fields"), so a reintroduced inferred filter whose
-    // rendering happened to truncate before the needle would silently
-    // pass an absence assertion. With the limit at 10⁵ nothing in these
-    // plans truncates and the pin stays falsifiable.
+    // (plan() renders untruncated — see the helper — so a reintroduced
+    // inferred filter cannot hide behind "... N more fields".)
     val needles = Seq(
       "fn_array" -> "split(",
       "llm_vocab_topk" -> "split(",
       "llm_contamination" -> "array_join(")
-    val key = "spark.sql.debug.maxToStringFields"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "100000")
-    try {
-      for ((q, needle) <- needles) {
-        val dup = plan(q).linesIterator
-          .filter(l => l.contains("Filter") && l.contains(needle))
-        assert(dup.isEmpty,
-          s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    for ((q, needle) <- needles) {
+      val dup = plan(q).linesIterator
+        .filter(l => l.contains("Filter") && l.contains(needle))
+      assert(dup.isEmpty,
+        s"$q re-evaluates the expensive pipeline in a Filter:\n${dup.mkString("\n")}")
     }
   }
 
@@ -196,5 +215,45 @@ class PlanAuditSpec extends GraftSpec {
     assert(lines(gen + 1).contains("Exchange hashpartitioning(a_rep#") &&
       lines(gen + 1).contains("REPARTITION_BY_COL"),
       s"expected the a_rep reshard directly under the Generate:\n${lines(gen + 1)}")
+  }
+
+  test("LSH verify stage never broadcasts the reps side (corpus-bound at 10⁹ docs)") {
+    // Round-9 verdict #1: broadcast(ga)/broadcast(gb) in lshRepGraph's
+    // verify join shipped ALL reps with their full token-id arrays — reps
+    // ≈ docs on a mostly-unique corpus, so that is the tokenized corpus on
+    // the driver. sf0.01 can't see it (auto-broadcast picks BHJ for KB
+    // tables either way), so the pin plans with auto-broadcast OFF: only
+    // hints broadcast there, and the verify joins must surface as shuffle
+    // joins on a_rep / b_rep. The ONLY hinted broadcasts in the whole
+    // pair-list query are the three answer-bound member re-attachments
+    // (semi-join-reduced ca/cb + the gsize>1 intra side) — pin the exact
+    // count so a reintroduced corpus-bound hint fails loudly.
+    val p = planNoAutoBroadcast("llm_neardup_minhash")
+    assert("SortMergeJoin(?:[^\\n]*) \\[a_rep#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[a_rep#".r.findFirstIn(p).isDefined,
+      s"verify join on a_rep must shuffle, not broadcast:\n${p.take(3000)}")
+    assert("SortMergeJoin(?:[^\\n]*) \\[b_rep#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[b_rep#".r.findFirstIn(p).isDefined,
+      s"verify join on b_rep must shuffle, not broadcast:\n${p.take(3000)}")
+    val hinted = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(hinted == 3,
+      s"expected exactly the 3 answer-bound hinted broadcasts, got $hinted:\n" +
+        p.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
+  }
+
+  test("IVF rerank tail never broadcasts the full embeddings table") {
+    // Round-9 verdict #1: broadcast(nb) re-attached candidate vectors by
+    // broadcasting every corpus vector — multi-TB at 10¹⁰ × 64-d. With
+    // auto-broadcast off, the hinted (promised-bounded) sides are the
+    // √N centroids and the explicitly probeMax-filtered query vectors;
+    // candidate re-attachment must shuffle-join on n_id.
+    for (q <- Seq("llm_ann_ivf", "llm_knn_bucketed")) {
+      val p = planNoAutoBroadcast(q)
+      assert("SortMergeJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined ||
+        "ShuffledHashJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined,
+        s"$q: candidate re-attachment on n_id must shuffle, not broadcast:\n${p.take(3000)}")
+      assert("BroadcastHashJoin(?:[^\\n]*) \\[q_id#".r.findFirstIn(p).isDefined,
+        s"$q: probe-bound query-vector attachment should stay broadcast:\n${p.take(3000)}")
+    }
   }
 }
