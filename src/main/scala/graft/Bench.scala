@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Repo root for the probe script + sidecar (round-9 ADVICE: a hardcoded
+    // absolute path silently degraded the probe bracket to null on any
+    // other checkout location). Env override, then cwd if it looks like the
+    // repo, then the canonical path.
+    val repoDir = sys.env.get("SPARK_GRAFT_REPO_DIR")
+      .orElse(Option(System.getProperty("user.dir"))
+        .filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(d, "tools", "host_probe.py"))))
+      .getOrElse("/root/repo")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,17 +33,45 @@ object Bench {
       Cleanup.release(spark, blocking = true)
       System.gc()
     }
+    // Per-sample forensics (round-9 verdict #2: the 15 s minhash driver
+    // reading could not be adjudicated because the artifact carried neither
+    // WHEN each sample ran nor whether persisted state was evicted
+    // mid-query). Two channels, both recorded per sample in the sidecar:
+    //   at — wall-clock offset (s) from bench start, so a contention
+    //        window's position in the run is visible;
+    //   ev — storage blocks DROPPED during the timed region (listener
+    //        counts block updates landing at an invalid StorageLevel).
+    //        The cleanup sweep runs after the delta is read, so its own
+    //        unpersists never pollute the count. Nonzero ev is expected
+    //        for queries that free state by design (the cluster query's
+    //        in-loop checkpoint truncation); the signal is a sample whose
+    //        ev EXPLODES relative to its siblings — that is a mid-query
+    //        eviction/recompute of a persisted stage, the in-suite
+    //        interaction fresh-JVM TimeQuery structurally cannot show.
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onBlockUpdated(
+            e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+          if (!e.blockUpdatedInfo.storageLevel.isValid)
+            dropped.incrementAndGet()
+      })
+    val benchT0 = System.nanoTime()
+    case class Sample(sec: Double, at: Double, ev: Long)
     // A crashed query must not enter the median looking like a fast
     // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
     // the raw samples (visible in BENCH_FULL.json) but excluded from the
     // median; a query with no successful sample reports -1.0.
-    def time(q: Q): Double = {
+    def time(q: Q): Sample = {
+      val at = (System.nanoTime() - benchT0) / 1e9
+      val ev0 = dropped.get()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val ev = dropped.get() - ev0 // read BEFORE the cleanup sweep
       clearState()
-      if (ok) dt else -1.0
+      Sample(if (ok) dt else -1.0, at, ev)
     }
     // Repeat-run mode, ADAPTIVE (round-7 verdict #1): a static allowlist
     // keyed to last round's swings always misses the next one, so ANY
@@ -67,7 +104,8 @@ object Bench {
     // calibration and is JIT-elimination-prone. Best-effort: null if
     // python3 or the script is unavailable.
     def probe(): String = try {
-      val pb = new ProcessBuilder("python3", "/root/repo/tools/host_probe.py")
+      val pb = new ProcessBuilder("python3",
+        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py").toString)
       pb.redirectErrorStream(true)
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(),
@@ -82,6 +120,20 @@ object Bench {
       }
     } catch { case _: Throwable => "null" }
     val probeBefore = probe()
+    // Streaming warm-up canary (round-9 verdict #4): the first streaming
+    // row in declaration order absorbed one-time streaming-infra warm-up
+    // (state-store init, micro-batch planner classloading) — stream_tumbling
+    // read 2.34/1.94/0.95 s in the r9 driver run, with the median landing
+    // on the still-warming second pass. One throwaway AvailableNow stream
+    // at the smallest SF pays that cost OUTSIDE every timed region. Falls
+    // back to the bench SF dir if no sf0.001 sibling exists; best-effort.
+    val warmDir = Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+      .map(_.resolve("sf0.001"))
+      .filter(p => java.nio.file.Files.isDirectory(p)).map(_.toString)
+      .getOrElse(sfDir)
+    try SparkEntry.queries("stream_tumbling")(spark, warmDir).count()
+    catch { case _: Throwable => () }
+    clearState()
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
     // per-query times stay comparable round-over-round.
@@ -95,16 +147,16 @@ object Bench {
     val firsts = SparkEntry.all.map(q => q.name -> Seq(time(q)))
     val repeatSet = SparkEntry.all.filter { q =>
       val first = firsts.collectFirst { case (n, s) if n == q.name => s.head }.get
-      repeats > 1 && (forced(q.name) || first < 0.0 || first >= repeatFloor)
+      repeats > 1 && (forced(q.name) || first.sec < 0.0 || first.sec >= repeatFloor)
     }
-    val extra: Map[String, Seq[Double]] =
+    val extra: Map[String, Seq[Sample]] =
       (1 until repeats).flatMap(_ => repeatSet.map(q => q.name -> time(q)))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     val samples = firsts.map { case (k, first) =>
       k -> (first ++ extra.getOrElse(k, Seq.empty))
     }
     val probeAfter = probe() // after the last timed query, before teardown
-    val results = samples.map { case (k, v) => k -> median(v) }
+    val results = samples.map { case (k, v) => k -> median(v.map(_.sec)) }
     // Per-query values rounded to ms so the ONE JSON line stays inside a
     // 2,000-char output tail at 80 queries (round-4 verdict #9: full-double
     // values pushed the line past the captured tail and truncated 12
@@ -117,12 +169,35 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullSamples = samples.filter(_._2.size > 1)
-      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .map { case (k, v) => "\"" + k + "\":" + v.map(_.sec).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+    // Per-sample forensics for every query (see `Sample`): when each sample
+    // started and how many storage blocks dropped inside its timed region.
+    val meta = samples.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(s =>
+        f"""{"at":${s.at}%.2f,"sec":${s.sec}%.3f,"ev":${s.ev}}""")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Run series (round-9 verdict #3): best-of-N sidecar selection
+    // systematically understated variance — the spread itself must be an
+    // artifact. Every run APPENDS its {total, probe bracket} to `runs`
+    // (capped at the last 20), so a sidecar refresh preserves the series
+    // it is judged against; tools/bench_runs.py runs N fresh-JVM rounds
+    // and installs the MEDIAN admissible run's sidecar, never the best.
+    val sidecarPath = java.nio.file.Paths.get(repoDir, "BENCH_FULL.json")
+    val runEntry =
+      s"""{"total":$total,"probe_before":$probeBefore,"probe_after":$probeAfter}"""
+    val prevRuns: Seq[String] = try {
+      val txt = java.nio.file.Files.readString(sidecarPath)
+      """"runs":\[(.*)\]\}\s*$""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split("(?<=\\}),(?=\\{)").toSeq).getOrElse(Seq.empty)
+    } catch { case _: Throwable => Seq.empty }
+    val runs = (prevRuns :+ runEntry).takeRight(20).mkString("[", ",", "]")
+    try java.nio.file.Files.writeString(sidecarPath,
       s"""{"total":$total,"sf":"$sfDir","probe_before":$probeBefore,""" +
-        s""""probe_after":$probeAfter,"queries":$full,"samples":$fullSamples}""")
+        s""""probe_after":$probeAfter,"queries":$full,"samples":$fullSamples,""" +
+        s""""sample_meta":$meta,"runs":$runs}""")
     catch { case _: Throwable => () } // sidecar is best-effort
     spark.stop()
     println(line) // last stdout line: survives tail-capture intact

@@ -72,10 +72,12 @@ object MinHash {
     * sized so a·x never overflows a long — see `coeffA`), not a corpus
     * cap: doc/rep ids stay full 64-bit everywhere. Its cost is token
     * collisions: at a 10⁹-distinct-token vocabulary ~10% of tokens share
-    * an id (birthday bound n/2³³ ≈ 0.12), which only inflates ESTIMATED
-    * similarity slightly — candidate recall is unaffected (collisions add
-    * candidates, never remove them) and precision is restored by the exact
-    * verify stage, which intersects the full 64-bit xxhash64 token ids
+    * an id (birthday bound n/2³³ ≈ 0.12), which mostly inflates ESTIMATED
+    * similarity — cross-doc collisions add candidates; a collision between
+    * two tokens of the SAME document shrinks its distinct masked-id set,
+    * which can perturb band signatures in either direction, so recall is
+    * essentially (not strictly) unaffected. Precision is restored by the
+    * exact verify stage, which intersects the full 64-bit xxhash64 token ids
     * (`lshRepGraph` stage 5), so a hash-collision pair below the true
     * threshold is discarded there. (Round-8 verdict "what's wrong" #4.)
     */

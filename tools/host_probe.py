@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Host health probe — run BEFORE and AFTER graft.Bench to decide if a bench
-reading will be evidence or noise (SURVEY §6, round-8 "progressive host
-throttling" entry: host capacity varies EXTERNALLY — the round-8 series
-falsified the idle-recovery hypothesis, with probe ratios still sliding
-after 40 fully-idle minutes and capacity later returning as suddenly as it
-left. Idling does not reliably restore capacity; the bracketing probes are
-the only admissibility signal for a bench reading).
+reading will be evidence or noise (SURVEY §6 host-capacity entry: capacity
+varies EXTERNALLY and NOT monotonically — the round-8 series falsified the
+idle-recovery hypothesis: probe ratios kept sliding through 40 fully-idle
+minutes, then capacity returned as suddenly as it left, uncorrelated with
+anything this VM did. Neither idling nor any local action restores
+capacity on a schedule; the bracketing probes are the only admissibility
+signal for a bench reading).
 
 Prints single-thread and all-core throughput for a fixed workload. This VM
 class has 32 full cores (no SMT — lscpu verified). Calibration from the
