@@ -53,6 +53,20 @@ case class DotProduct(left: Expression, right: Expression)
     }
   }
 
+  /** A null ELEMENT nulls the result even when both array columns are
+    * non-nullable, so nullability must include the element dimension —
+    * round-10 fix for the round-9 Janino fallback: with the default
+    * `left.nullable || right.nullable` = false, `nullSafeCodeGen` never
+    * declares `ev.isNull` (it swaps in a false-literal after the fact),
+    * but the element-null check in `doGenCode` still assigns the original
+    * undeclared name — "Expression "isNull_N" is not an rvalue", a silent
+    * per-row interpreter fallback wherever that shape ran. Declaring the
+    * expression nullable restores the sanctioned assign-ev.isNull contract
+    * (and keeps IsNotNull folds honest for the interpreted path too).
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

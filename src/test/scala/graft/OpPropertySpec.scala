@@ -117,6 +117,36 @@ class OpPropertySpec extends GraftSpec {
     }
   }
 
+  test("DotProduct compiles when only ELEMENTS are nullable (r9 Janino fallback)") {
+    // The round-9 test logs carried a Janino "Expression "isNull_N" is not
+    // an rvalue" → silent per-row interpreter fallback. Shape: a
+    // NON-nullable array column with NULLABLE elements — nullability was
+    // left.nullable || right.nullable = false, so nullSafeCodeGen never
+    // declared ev.isNull while the element-null check in doGenCode still
+    // assigned it. The nullable override in DotProduct closes it; this pin
+    // runs the exact shape (including the hashAgg form that surfaced it)
+    // with fallback=false so any regression is a hard failure, and checks
+    // the null-element semantics the nullability now advertises.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    import s.implicits._
+    val df = (0 until 8).toDF("id")
+      .select(col("id"), transform(sequence(lit(0), lit(3)),
+        i => when(i + col("id") =!= 2, (i + col("id")).cast("double"))).as("v"))
+    val vField = df.schema("v")
+    assert(!vField.nullable &&
+      vField.dataType.asInstanceOf[ArrayType].containsNull,
+      "test shape must be non-nullable array with nullable elements")
+    val dots = df.select(VectorOps.dot(col("v"), col("v")).as("d")).collect()
+    assert(dots.count(_.isNullAt(0)) == 3,
+      "a null element must null the row's dot (ids 0..2 hit i+id==2)")
+    val total = df.agg(sum(VectorOps.dot(col("v"), col("v"))))
+      .collect().head.getDouble(0)
+    val expected = (3 until 8).map(id =>
+      (0 until 4).map(i => math.pow(i + id, 2)).sum).sum
+    assert(total == expected, s"sum over dense rows only: $total vs $expected")
+  }
+
   test("window ranks: rank <= row_number, dense_rank contiguous, all start at 1") {
     val s = spark
     import s.implicits._
