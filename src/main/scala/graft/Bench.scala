@@ -185,8 +185,11 @@ object Bench {
     // it is judged against; tools/bench_runs.py runs N fresh-JVM rounds
     // and installs the MEDIAN admissible run's sidecar, never the best.
     val sidecarPath = java.nio.file.Paths.get(repoDir, "BENCH_FULL.json")
+    // `sf` in each entry: the series accumulates across invocations, and a
+    // small-SF smoke run is otherwise indistinguishable from sf0.1 evidence.
     val runEntry =
-      s"""{"total":$total,"probe_before":$probeBefore,"probe_after":$probeAfter}"""
+      s"""{"total":$total,"sf":"$sfDir","probe_before":$probeBefore,""" +
+        s""""probe_after":$probeAfter}"""
     val prevRuns: Seq[String] = try {
       val txt = java.nio.file.Files.readString(sidecarPath)
       """"runs":\[(.*)\]\}\s*$""".r.findFirstMatchIn(txt)

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All readers are plain parquet scans so Catalyst predicate pushdown /
   * column pruning reach the file source. The only special case is `events`:
-  * its `ts` column is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses
-  * to read unless `spark.sql.legacy.parquet.nanosAsLong=true`; we then
-  * normalize ns→µs with integer division (exact — double division would
-  * lose precision above 2^53).
+  * its `ts` column has shipped in two physical forms across fixture
+  * generations — parquet INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to
+  * read unless `spark.sql.legacy.parquet.nanosAsLong=true`; we then
+  * normalize ns→µs with exact integer division) and plain µs timestamps
+  * (isAdjustedToUTC=false, inferred as TIMESTAMP_NTZ). `events` branches on
+  * the footer-inferred type so both generations land on the identical µs
+  * TimestampType schema.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,7 +30,9 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** `events` with `ts` normalized to a µs TimestampType — identical to what
-    * DuckDB produces reading the same ns-precision file (SURVEY §1.2).
+    * DuckDB produces reading the same file (SURVEY §1.2): ns files truncate
+    * to µs via exact integer division, µs/NTZ files cast value-identically
+    * under the UTC session timezone.
     *
     * `nanosAsLong` is only consulted during footer-schema inference (i.e.
     * inside `spark.read.parquet`, which resolves the schema eagerly), so
@@ -46,8 +51,24 @@ object Tables {
     * reader would accept, and no other test table carries ns timestamps).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = rawEvents(spark, dir)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already µs TimestampType
+    }
+  }
+
+  /** The footer-inferred events frame with `ts` untouched: LongType for the
+    * ns-fixture generation (read under the scoped `nanosAsLong`), timestamp
+    * for the µs generation. `EventStream` probes this to pick the matching
+    * streaming read schema.
+    */
+  def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val df = nanosLock.synchronized {
+    nanosLock.synchronized {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try table(spark, dir, "events")
@@ -56,7 +77,6 @@ object Tables {
         case None    => spark.conf.unset(key)
       }
     }
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   private val nanosLock = new Object

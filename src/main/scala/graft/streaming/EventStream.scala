@@ -19,14 +19,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of events with `ts` as LongType: the file carries
-    * INT64 TIMESTAMP(NANOS) which Spark 4 only reads under
-    * `nanosAsLong=true` (SURVEY §1.2) — same landmine as the batch reader,
-    * same exact ns→µs normalization.
+  /** Raw parquet schema of events with `ts` in the file's physical type —
+    * LongType for the ns-fixture generation (INT64 TIMESTAMP(NANOS), which
+    * Spark 4 only reads under `nanosAsLong=true`, SURVEY §1.2) or
+    * TIMESTAMP_NTZ for the µs generation. The streaming source requires an
+    * explicit schema, so the batch footer (`Tables.rawEvents`) is probed
+    * once at stream construction to pick the matching variant; both land on
+    * the identical µs TimestampType after normalization, same as the batch
+    * reader.
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,25 +39,34 @@ object EventStream {
   /** Streaming scan of `$dir/events.parquet`, normalized to the exact same
     * schema/values as `Tables.events`.
     *
-    * Unlike the batch reader (which since round 8 scopes `nanosAsLong` to
-    * its eager footer-schema inference and restores the caller's value),
-    * the STREAMING reader must leave the conf set for the session: each
-    * micro-batch converts parquet footers asynchronously for the whole
-    * lifetime of the query, so a scoped restore would race the stream.
+    * For ns files, unlike the batch reader (which since round 8 scopes
+    * `nanosAsLong` to its eager footer-schema inference and restores the
+    * caller's value), the STREAMING reader must leave the conf set for the
+    * session: each micro-batch converts parquet footers asynchronously for
+    * the whole lifetime of the query, so a scoped restore would race the
+    * stream.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Glob, not bare file: FileStreamSource requires a directory basePath;
     // the pattern keeps discovery scoped to the events table only.
-    readEventsGlob(spark, s"$dir/events.parque*")
+    readEventsGlob(spark, s"$dir/events.parque*", probeTsType(spark, dir))
   }
 
-  private def readEventsGlob(spark: SparkSession, glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+  private def probeTsType(spark: SparkSession, dir: String): DataType =
+    graft.Tables.rawEvents(spark, dir).schema("ts").dataType
+
+  private def readEventsGlob(
+      spark: SparkSession, glob: String, tsType: DataType): DataFrame = {
+    if (tsType == LongType)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .parquet(glob)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** `readEvents` unioned with a single far-future sentinel event (year
@@ -65,14 +78,21 @@ object EventStream {
     * emitted rows are exactly the finalized sessions of the real data.
     */
   def readEventsWithSentinel(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = probeTsType(spark, dir)
     val tmp = Files.createTempDirectory("graft_sentinel")
-    val sentinelNs = 4102444800000000000L // 2100-01-01T00:00:00Z in ns
+    // 2100-01-01T00:00:00Z, written in the main source's physical ts type so
+    // the two streaming scans union without a cast.
+    val sentinelTs: Any = tsType match {
+      case LongType => 4102444800000000000L // ns
+      case TimestampNTZType => java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+      case _ => java.sql.Timestamp.from(java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    }
     import scala.jdk.CollectionConverters._
-    val row = org.apache.spark.sql.Row(-1L, sentinelNs, -1L, "sentinel", 0.0, "{}")
-    spark.createDataFrame(Seq(row).asJava, rawSchema)
+    val row = org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0, "{}")
+    spark.createDataFrame(Seq(row).asJava, rawSchema(tsType))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/sentinel")
-    readEventsGlob(spark, s"$dir/events.parque*")
-      .unionAll(readEventsGlob(spark, tmp.toString + "/sentinel"))
+    readEventsGlob(spark, s"$dir/events.parque*", tsType)
+      .unionAll(readEventsGlob(spark, tmp.toString + "/sentinel", tsType))
   }
 
   /** Run a streaming DataFrame to completion under Trigger.AvailableNow
