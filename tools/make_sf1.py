@@ -7,10 +7,11 @@ preserved within each copy (fact keys shift by copy_index * (max_key+1);
 shared small dimensions region/nation and the bounded user_id domain stay
 fixed, mirroring how real corpora grow: more facts, same dimensions).
 
-events.ts is INT64 TIMESTAMP(NANOS) in the source; DuckDB would rewrite it
-as microsecond TIMESTAMP, which the Spark reader (nanosAsLong) would then
-misinterpret 1000x. It is therefore materialized as epoch-ns BIGINT, which
-both Tables.events and EventStream read identically to the original.
+events.ts is materialized as epoch-ns BIGINT regardless of the source
+generation (ns INT64 originally, plain microsecond TIMESTAMP since the
+round-10 regen — epoch_ns() is exact for both): the schema-adaptive
+Tables.events/EventStream readers take their LongType branch and land on
+the same normalized values as the base table.
 
 Usage: tools/make_sf1.py [base_dir] [out_dir] [copies]
 """
