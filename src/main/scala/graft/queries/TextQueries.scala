@@ -36,6 +36,19 @@ object TextQueries {
     */
   private val DfCap = 5
 
+  /** PII patterns for llm_pii_scrub, in the Java↔RE2-shared regex subset
+    * (both engines see the identical runtime string — the Spark side goes
+    * through the Column API, so no SQL-literal double-escaping). The phone
+    * pattern's optional country code lives in a group so a bare
+    * `555-123-4567` still matches; no leading \b because a boundary before
+    * an optional `+` fails on ` +1 …` (space→`+` is not a word boundary).
+    */
+  private val EmailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpP    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val SsnP   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val PhoneP =
+    "(\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b"
+
   /** Portable 60-bit token hash (see file header). */
   private def tokHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("bigint")
@@ -529,6 +542,64 @@ object TextQueries {
         GROUP BY doc_id, bench_id
         HAVING count(*) >= 3
         ORDER BY doc_id, bench_id""")),
+
+    // H: PII redaction — the scrub stage every production curation
+    // pipeline runs before training (C4 removed lines with PII patterns;
+    // Dolma ships an email/phone/IP tagger): emails, IPv4s, SSN-shaped
+    // ids, and phone numbers are replaced with typed placeholder tokens,
+    // with a per-category count kept as quality metadata. Scale shape:
+    // four sequential regexp passes per document — a map-only pipeline,
+    // ZERO shuffles at any corpus size (the orderBy exists only for the
+    // stable oracle hash). The scrub order (email → IP → SSN → phone) is
+    // part of the contract: each count is taken on the text AFTER the
+    // previous categories are already redacted, so overlapping matches
+    // (an IP's dotted digits inside a phone-shaped run) resolve
+    // identically in both engines. Patterns stay in the Java↔RE2-shared
+    // subset (no lookaround, ASCII classes, \b word boundaries — the
+    // fn_regexp discipline); Spark regexp_replace is global by default,
+    // DuckDB needs the explicit 'g' flag.
+    Q(
+      "llm_pii_scrub",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("n_email",
+            size(regexp_extract_all(col("text"), lit(EmailP), lit(0))).cast("bigint"))
+          .withColumn("t1", regexp_replace(col("text"), EmailP, "[EMAIL]"))
+          .withColumn("n_ip",
+            size(regexp_extract_all(col("t1"), lit(IpP), lit(0))).cast("bigint"))
+          .withColumn("t2", regexp_replace(col("t1"), IpP, "[IP]"))
+          .withColumn("n_ssn",
+            size(regexp_extract_all(col("t2"), lit(SsnP), lit(0))).cast("bigint"))
+          .withColumn("t3", regexp_replace(col("t2"), SsnP, "[SSN]"))
+          .withColumn("n_phone",
+            size(regexp_extract_all(col("t3"), lit(PhoneP), lit(0))).cast("bigint"))
+          .select(col("doc_id"),
+            regexp_replace(col("t3"), PhoneP, "[PHONE]").as("text_scrubbed"),
+            col("n_email"), col("n_ip"), col("n_ssn"), col("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$EmailP')) AS BIGINT) AS n_email,
+                 regexp_replace(text, '$EmailP', '[EMAIL]', 'g') AS t1
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, '$IpP')) AS BIGINT) AS n_ip,
+                 regexp_replace(t1, '$IpP', '[IP]', 'g') AS t2
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, n_email, n_ip,
+                 CAST(len(regexp_extract_all(t2, '$SsnP')) AS BIGINT) AS n_ssn,
+                 regexp_replace(t2, '$SsnP', '[SSN]', 'g') AS t3
+          FROM s2)
+        SELECT doc_id,
+               regexp_replace(t3, '$PhoneP', '[PHONE]', 'g') AS text_scrubbed,
+               n_email, n_ip, n_ssn,
+               CAST(len(regexp_extract_all(t3, '$PhoneP')) AS BIGINT) AS n_phone
+        FROM s3
+        ORDER BY doc_id""")),
 
     // H: deterministic stratified sampling — the data-mixing primitive
     // (per-language rates here; any metadata stratum works the same way).

@@ -23,6 +23,9 @@ class CurationFuzzSpec extends GraftSpec {
   private val Queries = Seq(
     "llm_repetition", "llm_token_count", "llm_sample_stratified",
     "llm_vocab_topk", "llm_fingerprint", "llm_contamination",
+    // PII scrub on the adversarial corpus: no PII-shaped strings, so both
+    // engines must agree on the all-zeros path over unicode/punctuation.
+    "llm_pii_scrub",
     // The 16-word fuzz vocabulary makes high-DF trigrams common, so the
     // DF cap genuinely bites on this corpus (unlike the driver's sf0.01,
     // where it is output-neutral).

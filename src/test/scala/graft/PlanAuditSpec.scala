@@ -176,10 +176,10 @@ class PlanAuditSpec extends GraftSpec {
   }
 
   test("per-doc map-only rows shuffle once at most (the oracle-ordering sort)") {
-    // llm_repetition and llm_sample_stratified claim ZERO corpus shuffles;
-    // the only Exchange allowed is the rangepartitioning for the final
-    // deterministic orderBy.
-    for (q <- Seq("llm_repetition", "llm_sample_stratified")) {
+    // llm_repetition, llm_sample_stratified, and llm_pii_scrub claim ZERO
+    // corpus shuffles; the only Exchange allowed is the rangepartitioning
+    // for the final deterministic orderBy.
+    for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub")) {
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
