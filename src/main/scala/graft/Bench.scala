@@ -62,9 +62,28 @@ object Bench {
     // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
     // the raw samples (visible in BENCH_FULL.json) but excluded from the
     // median; a query with no successful sample reports -1.0.
+    // Block updates arrive on the ASYNC listener bus, so the previous
+    // query's cleanup sweep can still be draining when the next timed
+    // region opens — its drops would then land in the wrong sample's `ev`
+    // (misattributing the exact mid-query-eviction signal the channel
+    // exists to detect). The bus offers no public drain hook; waiting for
+    // the counter to go quiet (no change across a settle interval, bounded
+    // wait) empties the in-flight cleanup burst in practice.
+    def settleDropped(): Long = {
+      val deadline = System.nanoTime() + 1000000000L // ≤ 1 s
+      var prev = dropped.get()
+      var quiet = false
+      while (!quiet && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = dropped.get()
+        quiet = cur == prev
+        prev = cur
+      }
+      prev
+    }
     def time(q: Q): Sample = {
       val at = (System.nanoTime() - benchT0) / 1e9
-      val ev0 = dropped.get()
+      val ev0 = settleDropped()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
@@ -126,13 +145,16 @@ object Bench {
     // read 2.34/1.94/0.95 s in the r9 driver run, with the median landing
     // on the still-warming second pass. One throwaway AvailableNow stream
     // at the smallest SF pays that cost OUTSIDE every timed region. Falls
-    // back to the bench SF dir if no sf0.001 sibling exists; best-effort.
-    val warmDir = Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
-      .map(_.resolve("sf0.001"))
-      .filter(p => java.nio.file.Files.isDirectory(p)).map(_.toString)
-      .getOrElse(sfDir)
-    try SparkEntry.queries("stream_tumbling")(spark, warmDir).count()
-    catch { case _: Throwable => () }
+    // back to the bench SF dir if no sf0.001 sibling exists. The canary is
+    // the FIRST declared stream_* row — resolved outside the best-effort
+    // try (round-10 review: a hardcoded name inside a catch-all meant a
+    // rename would silently delete the canary and quietly re-introduce the
+    // r9 median distortion). No streaming rows declared → nothing to warm.
+    val (warmDir, _) = WarmDir.resolve(sfDir)
+    SparkEntry.all.find(_.name.startsWith("stream_")).foreach { canary =>
+      try canary.fn(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     clearState()
     // Declaration order (not Map hash order): stable across rounds so the
     // JVM warm-up cost lands on the same first query every run and
@@ -157,11 +179,17 @@ object Bench {
     }
     val probeAfter = probe() // after the last timed query, before teardown
     val results = samples.map { case (k, v) => k -> median(v.map(_.sec)) }
+    // Fixed-decimal rendering pinned to Locale.ROOT (round-10 review): the
+    // f-interpolator uses the JVM default locale, and a comma decimal
+    // separator (de_DE, fr_FR, …) would make every emitted JSON artifact
+    // unparseable.
+    def fix(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     // Per-query values rounded to ms so the ONE JSON line stays inside a
     // 2,000-char output tail at 80 queries (round-4 verdict #9: full-double
     // values pushed the line past the captured tail and truncated 12
     // timings); the unrounded full map is preserved in BENCH_FULL.json.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fix(v, 3) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
@@ -175,7 +203,7 @@ object Bench {
     // started and how many storage blocks dropped inside its timed region.
     val meta = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.map(s =>
-        f"""{"at":${s.at}%.2f,"sec":${s.sec}%.3f,"ev":${s.ev}}""")
+        s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}}""")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Run series (round-9 verdict #3): best-of-N sidecar selection

@@ -26,18 +26,12 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.queries(name)
-    // Warm-up dir (round-9 ADVICE): smallest-SF sibling of sfDir (or
-    // SPARK_GRAFT_WARM_DIR), not a hardcoded path — and when it coincides
-    // with sfDir the warm-up is SKIPPED and flagged, because a same-dir
-    // warm-up would make the timed region a second, cache-warmed execution
-    // rather than a cold plan.
-    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
-      Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
-        .map(_.resolve("sf0.001"))
-        .filter(p => java.nio.file.Files.isDirectory(p)).map(_.toString)
-        .getOrElse(sfDir)
-    }
-    val warmed = warmDir != sfDir
+    // Warm-up dir (round-9 ADVICE, shared resolution in WarmDir): smallest-
+    // SF sibling of sfDir (or SPARK_GRAFT_WARM_DIR), not a hardcoded path —
+    // and when it normalizes to sfDir itself the warm-up is SKIPPED and
+    // flagged, because a same-dir warm-up would make the timed region a
+    // second, cache-warmed execution rather than a cold plan.
+    val (warmDir, warmed) = WarmDir.resolve(sfDir)
     if (warmed) q(spark, warmDir).count() // JIT + classload warm-up
     val t0 = System.nanoTime()
     q(spark, sfDir).count()

@@ -83,8 +83,13 @@ object VectorQueries {
       nprobe: Long, probeMax: Long, k: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(VectorOps.dot(col("qv"), col("cv")).desc, col("c_id"))
-    val probes = e.where(col("vec_id") < probeMax)
+    // THE probe-bound projection: every probe-side use below derives from
+    // this single definition (round-10 review), so the `vec_id < probeMax`
+    // bound that licenses the qa broadcast cannot drift apart from the
+    // probe generation under refactoring.
+    val qa = e.where(col("vec_id") < probeMax)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = qa
       .crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(probeW))
       .where(col("rn") <= nprobe)
@@ -92,17 +97,15 @@ object VectorQueries {
     val cand = probes.join(cell, "c_id")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
-    // Query-vector re-attachment is EXPLICITLY probe-bound (round-9 verdict
-    // #1: the boundedness must not hang on constraint inference surviving a
-    // refactor): ≤ probeMax rows, safe to broadcast at any corpus size.
-    // Candidate-vector re-attachment (`nb`) is the FULL corpus — candidates
-    // span every probed cell's residents — so it carries NO hint and
-    // shuffle-joins on n_id; a broadcast hint there was a multi-TB driver
-    // OOM at 10¹⁰ × 64-d vectors, invisible at sf0.1 where auto-broadcast
-    // picks BHJ anyway. Pinned by PlanAuditSpec under
+    // Query-vector re-attachment reuses `qa` — EXPLICITLY probe-bound
+    // (round-9 verdict #1: the boundedness must not hang on constraint
+    // inference surviving a refactor): ≤ probeMax rows, safe to broadcast
+    // at any corpus size. Candidate-vector re-attachment (`nb`) is the
+    // FULL corpus — candidates span every probed cell's residents — so it
+    // carries NO hint and shuffle-joins on n_id; a broadcast hint there
+    // was a multi-TB driver OOM at 10¹⁰ × 64-d vectors, invisible at sf0.1
+    // where auto-broadcast picks BHJ anyway. Pinned by PlanAuditSpec under
     // autoBroadcastJoinThreshold=-1.
-    val qa = e.where(col("vec_id") < probeMax)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("dot").desc, col("n_id"))

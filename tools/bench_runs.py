@@ -40,8 +40,18 @@ def main():
            "graft.Bench"]
     sidecars = []
     for i in range(n):
+        # graft.Bench's sidecar write is best-effort (swallows IO errors and
+        # exits 0), so a failed write would otherwise make this loop re-read
+        # the STALE previous sidecar as if it were the fresh run — selection
+        # over no evidence at all. Detect staleness via mtime and fail loud.
+        before_mtime = os.path.getmtime(side) if os.path.exists(side) else None
         subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
                        stderr=subprocess.DEVNULL)
+        if not os.path.exists(side) or \
+                os.path.getmtime(side) == before_mtime:
+            sys.exit(f"run {i + 1}/{n}: graft.Bench did not refresh {side} "
+                     "(write failed silently?) — aborting, not installing "
+                     "stale data")
         with open(side) as f:
             sidecars.append(json.load(f))
         s = sidecars[-1]
