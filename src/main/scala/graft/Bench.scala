@@ -82,8 +82,12 @@ object Bench {
       prev
     }
     def time(q: Q): Sample = {
-      val at = (System.nanoTime() - benchT0) / 1e9
       val ev0 = settleDropped()
+      // `at` is read AFTER the settle wait (round-10 ADVICE): settleDropped
+      // can sleep up to 1 s, and the offset exists to position the TIMED
+      // region in the run — capturing it before the wait skewed the very
+      // contention-window forensics the field is for.
+      val at = (System.nanoTime() - benchT0) / 1e9
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
@@ -105,6 +109,17 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_REPEAT_FLOOR_SEC", "0.5").toDouble
     val forced: Set[String] = sys.env.getOrElse("SPARK_GRAFT_REPEAT_QUERIES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Focused re-runs (round-11 adjudication tooling): SPARK_GRAFT_ONLY
+    // restricts the run to a comma-separated subset INSIDE the exact Bench
+    // harness (settle wait, ev channel, blocking cleanup, whole-set passes)
+    // — the in-suite state interactions being adjudicated are structurally
+    // invisible to fresh-JVM TimeQuery. A filtered run is NOT suite
+    // evidence: it skips the sidecar entirely (no runs-series append) and
+    // tags its stdout line "filtered".
+    val only: Set[String] = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val toRun: Seq[Q] =
+      if (only.isEmpty) SparkEntry.all else SparkEntry.all.filter(q => only(q.name))
     def median(xs: Seq[Double]): Double = {
       val s = xs.filter(_ >= 0.0).sorted
       if (s.isEmpty) -1.0
@@ -133,9 +148,14 @@ object Bench {
       val num = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
       val agg = s"aggregate=($num)".r.findFirstMatchIn(out).map(_.group(1))
       val single = s"single=($num)".r.findFirstMatchIn(out).map(_.group(1))
+      // membw (round 11): memory-bandwidth leg, evidence-only — absent from
+      // older probe outputs, so it is optional in the parse.
+      val bw = s"membw=($num)".r.findFirstMatchIn(out).map(_.group(1))
       (agg, single) match {
-        case (Some(a), Some(s)) => s"""{"agg":$a,"single":$s}"""
-        case _                  => "null"
+        case (Some(a), Some(s)) =>
+          val bwField = bw.map(b => s""","membw":$b""").getOrElse("")
+          s"""{"agg":$a,"single":$s$bwField}"""
+        case _ => "null"
       }
     } catch { case _: Throwable => "null" }
     val probeBefore = probe()
@@ -150,10 +170,19 @@ object Bench {
     // try (round-10 review: a hardcoded name inside a catch-all meant a
     // rename would silently delete the canary and quietly re-introduce the
     // r9 median distortion). No streaming rows declared → nothing to warm.
-    val (warmDir, _) = WarmDir.resolve(sfDir)
-    SparkEntry.all.find(_.name.startsWith("stream_")).foreach { canary =>
-      try canary.fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
+    // The canary runs ONLY when the warm-up dir is distinct from the timed
+    // dir (round-10 ADVICE: WarmDir's `distinct` flag was discarded, so with
+    // no sf0.001 sibling the canary ran the first stream_* query on the
+    // timed dir itself and left its caches warm for that query's timed
+    // sample — the exact condition TimeQuery skips). Skipping re-admits the
+    // r9 warm-up-in-median distortion for such layouts, so the decision is
+    // recorded in the sidecar (`stream_canary`) instead of being silent.
+    val (warmDir, warmDistinct) = WarmDir.resolve(sfDir)
+    val canaryRan = warmDistinct && {
+      toRun.find(_.name.startsWith("stream_")).exists { canary =>
+        try { canary.fn(spark, warmDir).count(); true }
+        catch { case _: Throwable => false }
+      }
     }
     clearState()
     // Declaration order (not Map hash order): stable across rounds so the
@@ -166,8 +195,8 @@ object Bench {
     // machine, not the query) hits all back-to-back samples of one query
     // and survives the median, but spread across passes each sample lands
     // minutes apart, so the median keeps at least one clean reading.
-    val firsts = SparkEntry.all.map(q => q.name -> Seq(time(q)))
-    val repeatSet = SparkEntry.all.filter { q =>
+    val firsts = toRun.map(q => q.name -> Seq(time(q)))
+    val repeatSet = toRun.filter { q =>
       val first = firsts.collectFirst { case (n, s) if n == q.name => s.head }.get
       repeats > 1 && (forced(q.name) || first.sec < 0.0 || first.sec >= repeatFloor)
     }
@@ -185,6 +214,11 @@ object Bench {
     // unparseable.
     def fix(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // Paths are interpolated into JSON artifacts; a quote or backslash in
+    // SPARK_GRAFT_SF_DIR would make every line/sidecar unparseable
+    // (round-10 ADVICE) — escape the two JSON-significant characters.
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // Per-query values rounded to ms so the ONE JSON line stays inside a
     // 2,000-char output tail at 80 queries (round-4 verdict #9: full-double
     // values pushed the line past the captured tail and truncated 12
@@ -192,8 +226,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fix(v, 3) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val filteredTag = if (only.nonEmpty) ""","filtered":true""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$filteredTag}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullSamples = samples.filter(_._2.size > 1)
@@ -216,7 +251,7 @@ object Bench {
     // `sf` in each entry: the series accumulates across invocations, and a
     // small-SF smoke run is otherwise indistinguishable from sf0.1 evidence.
     val runEntry =
-      s"""{"total":$total,"sf":"$sfDir","probe_before":$probeBefore,""" +
+      s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
         s""""probe_after":$probeAfter}"""
     val prevRuns: Seq[String] = try {
       val txt = java.nio.file.Files.readString(sidecarPath)
@@ -225,11 +260,21 @@ object Bench {
         .map(_.split("(?<=\\}),(?=\\{)").toSeq).getOrElse(Seq.empty)
     } catch { case _: Throwable => Seq.empty }
     val runs = (prevRuns :+ runEntry).takeRight(20).mkString("[", ",", "]")
-    try java.nio.file.Files.writeString(sidecarPath,
-      s"""{"total":$total,"sf":"$sfDir","probe_before":$probeBefore,""" +
-        s""""probe_after":$probeAfter,"queries":$full,"samples":$fullSamples,""" +
-        s""""sample_meta":$meta,"runs":$runs}""")
-    catch { case _: Throwable => () } // sidecar is best-effort
+    val canaryJson =
+      s"""{"ran":$canaryRan,"warm_distinct":$warmDistinct,"dir":${jstr(warmDir)}}"""
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(sidecarPath,
+        s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
+          s""""probe_after":$probeAfter,"stream_canary":$canaryJson,""" +
+          s""""queries":$full,"samples":$fullSamples,""" +
+          s""""sample_meta":$meta,"runs":$runs}""")
+      catch { case _: Throwable => () } // sidecar is best-effort
+    } else {
+      // Filtered runs are adjudication probes, not suite evidence — keep
+      // them out of the sidecar and its runs series, but surface the
+      // forensics on stdout so the experiment is self-contained.
+      println(s"""{"filtered_meta":$meta,"stream_canary":$canaryJson}""")
+    }
     spark.stop()
     println(line) // last stdout line: survives tail-capture intact
   }

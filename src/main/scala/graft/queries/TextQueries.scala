@@ -42,12 +42,21 @@ object TextQueries {
     * pattern's optional country code lives in a group so a bare
     * `555-123-4567` still matches; no leading \b because a boundary before
     * an optional `+` fails on ` +1 …` (space→`+` is not a word boundary).
+    * Instead the phone pattern leads with a `(^|[^0-9])` guard (round-10
+    * ADVICE: with only the trailing \b, any ≥10-digit run — order ids,
+    * account numbers — got a 10-digit suffix-aligned substring redacted as
+    * [PHONE]); the guard character is restored by the replacement's
+    * backreference (`$1` in Java, `\1` in RE2 — the one engine-specific
+    * piece, so it lives at the two call sites, not in the shared pattern).
+    * Counts use group 0 on both engines, so the guard char inflates
+    * neither. Both engines scan leftmost-first, so which start wins on
+    * overlapping candidates is identical.
     */
   private val EmailP = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IpP    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val SsnP   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val PhoneP =
-    "(\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b"
+    "(^|[^0-9])((\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b)"
 
   /** Portable 60-bit token hash (see file header). */
   private def tokHash(tok: Column): Column =
@@ -574,7 +583,9 @@ object TextQueries {
           .withColumn("n_phone",
             size(regexp_extract_all(col("t3"), lit(PhoneP), lit(0))).cast("bigint"))
           .select(col("doc_id"),
-            regexp_replace(col("t3"), PhoneP, "[PHONE]").as("text_scrubbed"),
+            // $1 restores the non-digit guard character (Java backref form;
+            // the DuckDB oracle's \1 is the RE2 spelling of the same thing).
+            regexp_replace(col("t3"), PhoneP, "$1[PHONE]").as("text_scrubbed"),
             col("n_email"), col("n_ip"), col("n_ssn"), col("n_phone"))
           .orderBy(col("doc_id"))
       },
@@ -595,7 +606,7 @@ object TextQueries {
                  regexp_replace(t2, '$SsnP', '[SSN]', 'g') AS t3
           FROM s2)
         SELECT doc_id,
-               regexp_replace(t3, '$PhoneP', '[PHONE]', 'g') AS text_scrubbed,
+               regexp_replace(t3, '$PhoneP', '\\1[PHONE]', 'g') AS text_scrubbed,
                n_email, n_ip, n_ssn,
                CAST(len(regexp_extract_all(t3, '$PhoneP')) AS BIGINT) AS n_phone
         FROM s3

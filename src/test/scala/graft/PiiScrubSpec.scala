@@ -30,6 +30,14 @@ class PiiScrubSpec extends GraftSpec {
       "mixed: [EMAIL] from [IP] dial [PHONE]", 1L, 1L, 0L, 1L),
     ("clean text with no identifiers at all",
       "clean text with no identifiers at all", 0L, 0L, 0L, 0L),
+    // Round-10 ADVICE: a ≥10-digit run (order id) must NOT get a 10-digit
+    // suffix redacted as [PHONE] — the leading (^|[^0-9]) guard pins this.
+    ("order 12345678901234 shipped yesterday",
+      "order 12345678901234 shipped yesterday", 0L, 0L, 0L, 0L),
+    // …while a phone at the very start of the text (the ^ alternative of
+    // the guard) still redacts.
+    ("212-555-0123 is the number",
+      "[PHONE] is the number", 0L, 0L, 0L, 1L),
     ("", "", 0L, 0L, 0L, 0L))
 
   private lazy val dir: String = {

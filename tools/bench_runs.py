@@ -43,12 +43,21 @@ def main():
         # graft.Bench's sidecar write is best-effort (swallows IO errors and
         # exits 0), so a failed write would otherwise make this loop re-read
         # the STALE previous sidecar as if it were the fresh run — selection
-        # over no evidence at all. Detect staleness via mtime and fail loud.
-        before_mtime = os.path.getmtime(side) if os.path.exists(side) else None
+        # over no evidence at all. Staleness is detected by CONTENT hash,
+        # not mtime (round-10 ADVICE: float-mtime equality misclassifies a
+        # rewrite landing inside one coarse-granularity tick): every Bench
+        # run appends itself to the sidecar's `runs` series, so a fresh
+        # write can never be byte-identical to the previous one.
+        def digest():
+            if not os.path.exists(side):
+                return None
+            import hashlib
+            with open(side, "rb") as f:
+                return hashlib.sha256(f.read()).hexdigest()
+        before_digest = digest()
         subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
                        stderr=subprocess.DEVNULL)
-        if not os.path.exists(side) or \
-                os.path.getmtime(side) == before_mtime:
+        if digest() is None or digest() == before_digest:
             sys.exit(f"run {i + 1}/{n}: graft.Bench did not refresh {side} "
                      "(write failed silently?) — aborting, not installing "
                      "stale data")

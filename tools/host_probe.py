@@ -34,6 +34,22 @@ def burn(_):
     return s
 
 
+def membw(_):
+    # Memory-bandwidth leg (round 11): the r10 driver window inflated ONLY
+    # the block-manager-heavy LSH family (persist + localCheckpoint + block
+    # frees) while every CPU-shaped row held 1.0x under a HEALTHY arithmetic
+    # bracket — the arithmetic loop cannot see memory/copy capacity, which
+    # is the dimension those queries stress. One large bytearray copy pass
+    # per worker, GB/s reported. Recorded as evidence alongside aggregate;
+    # NOT yet an admissibility gate (calibration series too short).
+    buf = bytearray(256 * 1024 * 1024)
+    t0 = time.time()
+    dst = bytes(buf)  # one full copy: read 256 MiB + write 256 MiB
+    dt = time.time() - t0
+    del dst
+    return (2 * len(buf)) / dt
+
+
 def main():
     t0 = time.time()
     burn(0)
@@ -45,10 +61,18 @@ def main():
         pool.map(burn, range(ncpu))
         agg = N * ncpu / (time.time() - t0)
 
+    # 8 concurrent copy workers ~ the shuffle/checkpoint write concurrency
+    # a 32-thread local bench actually sustains; full-ncpu fan-out would
+    # measure allocator contention more than bandwidth.
+    nbw = min(8, ncpu)
+    with mp.Pool(nbw) as pool:
+        bws = pool.map(membw, range(nbw))
+    bw = sum(bws)
+
     per_cpu = agg / ncpu
     print(f"cpus={ncpu} single={single:.3g} it/s "
           f"all-core aggregate={agg:.3g} it/s per-cpu={per_cpu:.3g} it/s "
-          f"ratio={per_cpu / single:.2f}")
+          f"ratio={per_cpu / single:.2f} membw={bw:.3g} B/s")
     if agg >= HEALTHY_AGG:
         print("OK: multi-core capacity at the calibrated healthy level")
     elif agg <= BAD_AGG:
