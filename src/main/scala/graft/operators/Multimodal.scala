@@ -8,16 +8,21 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages as columnar
   * transforms.
   *
-  * The decode step itself is STUBBED — this container has no image/audio
-  * codecs (zero egress), so `fakeEmbedding` derives a deterministic
-  * pseudo-feature vector from payload bytes where a real deployment would
-  * call a decoder. Everything AROUND the stub is real and tested: binary
-  * schemas, magic-byte sniffing, byte-range frame sampling, truncation,
-  * batch shapes, and the handoff into the vector operators (the fake
-  * embedding is ANN-ready `array<double>`). All transforms are built-in
-  * expressions (substring/hex/xxhash64/transform), so the whole path stays
-  * inside whole-stage codegen — no UDFs, no driver-side loops, safe at any
-  * scale.
+  * IMAGE decode is REAL as of round 11: `imageFeatures` runs
+  * `javax.imageio` (ships with the JDK — PNG/JPEG/GIF/BMP/WBMP need no
+  * external codec) through the codegen expression
+  * [[graft.functions.ImageFeaturesExpr]] and emits an exact 10-feature
+  * `array<double>` (dimensions, channel means, luminance moments), NULL
+  * for undecodable payloads. Only the modalities with no JDK codec
+  * (flac/matroska) and ML-model embeddings keep the deterministic
+  * `fakeEmbedding` stand-in, which preserves the binary-in /
+  * dense-`array<double>`-out contract a real deployment would fill with a
+  * decoder+model. Everything else is real and tested: binary schemas,
+  * magic-byte sniffing, byte-range frame sampling, truncation, batch
+  * shapes, and the handoff into the vector operators. All transforms are
+  * expressions (built-ins plus the one documented custom decode
+  * expression), so the path stays inside whole-stage codegen — no UDFs, no
+  * driver-side loops, safe at any scale.
   */
 object Multimodal {
 
@@ -42,10 +47,22 @@ object Multimodal {
     xxhash64(bin).as("checksum"),
     hex(substring(bin, 1, 8)).as("prefix_hex"))
 
+  /** REAL image feature extraction via the JDK's ImageIO — see
+    * [[graft.functions.ImageFeaturesExpr]] for the feature layout, the
+    * determinism contract, and the 100 TB shape (pure map stage, zero
+    * shuffles). NULL for payloads no JDK codec decodes.
+    */
+  def imageFeatures(bin: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ImageFeaturesExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(bin)))
+
   /** STUB feature extractor: deterministic pseudo-embedding in [-1, 1]^dim
-    * derived from payload bytes (`xxhash64(bin, slot)` per slot). Replace
-    * with a real decoder+model in deployment; the signature — binary in,
-    * dense `array<double>` out, one row per payload — is the contract the
+    * derived from payload bytes (`xxhash64(bin, slot)` per slot). Still the
+    * documented stand-in for the modalities with no JDK codec (flac,
+    * matroska) and for ML-model embeddings; images have the real
+    * `imageFeatures` path above. The signature — binary in, dense
+    * `array<double>` out, one row per payload — is the contract the
     * downstream similarity operators (VectorOps / llm_ann_ivf) consume.
     */
   def fakeEmbedding(bin: Column, dim: Int): Column =
@@ -75,4 +92,15 @@ object Multimodal {
   def enrich(df: DataFrame, binCol: String, dim: Int = 16): DataFrame =
     df.withColumn("meta", meta(col(binCol)))
       .withColumn("embedding", fakeEmbedding(col(binCol), dim))
+
+  /** Image ingestion with REAL decode: `enrich` plus an `image_features`
+    * column (exact decoded features for JDK-codec payloads, NULL
+    * otherwise). Kept as a separate column rather than coalesced into
+    * `embedding`: the two vectors have different dimensions and different
+    * provenance (decoded pixels vs deterministic stand-in), and silently
+    * mixing them would poison any downstream ANN index.
+    */
+  def enrichImages(df: DataFrame, binCol: String, dim: Int = 16): DataFrame =
+    enrich(df, binCol, dim)
+      .withColumn("image_features", imageFeatures(col(binCol)))
 }

