@@ -101,6 +101,23 @@ object LlmQueries {
     // member expansion); repeated invocations do NOT stack cache entries —
     // Spark's CacheManager dedupes by logical plan, so the same
     // (corpus, dir) reuses one small entry.
+    // The window keys stay the RAW `tids` array (r10 verdict's §6 scale
+    // observation, adjudicated round 11 — measured verdict: NOT adopted).
+    // A 64-bit `xxhash64(tids)` prefix on the group/window keys — exact
+    // without any collision handling, since (th, tids) partitions rows
+    // identically to tids — was A/B'd interleaved same-boot: at sf0.1 it
+    // LOST ~10% on both LSH rows (cluster medians 9.8/10.8 s raw vs
+    // 11.1/11.7 s prefixed; minhash 6.4/7.3 vs 7.2/8.1), and at the 10×
+    // duplicate-dense staging it won back only a few percent (25.3/22.0
+    // raw vs 24.5/19.8 cold interleaved singles). Mechanics, pinned for
+    // future rounds: exchange BYTES cannot shrink here (tids rides in
+    // every row as payload for the rep/verify stages, and hash-partition
+    // keys are not serialized separately), so the only candidate win was
+    // comparator CPU — but compares between DISTINCT token sets resolve
+    // within the first few elements (not array-length-bound), compares
+    // between EQUAL sets fall through the equal prefix to the full walk
+    // anyway, and the prefix costs a full-array hash per row plus 8
+    // bytes/row of width. See SURVEY §6, round 11.
     val w = Window.partitionBy(col("tids"))
     val chunks = docs
       .groupBy(col("tids"),
