@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages as columnar
   * transforms.
   *
-  * IMAGE decode is REAL as of round 11: `imageFeatures` runs
+  * IMAGE and AUDIO decode are REAL as of round 11: `imageFeatures` runs
   * `javax.imageio` (ships with the JDK — PNG/JPEG/GIF/BMP/WBMP need no
   * external codec) through the codegen expression
   * [[graft.functions.ImageFeaturesExpr]] and emits an exact 10-feature
-  * `array<double>` (dimensions, channel means, luminance moments), NULL
-  * for undecodable payloads. Only the modalities with no JDK codec
-  * (flac/matroska) and ML-model embeddings keep the deterministic
+  * `array<double>` (dimensions, channel means, luminance moments);
+  * `audioFeatures` runs `javax.sound.sampled` (WAV/AIFF/AU) through
+  * [[graft.functions.AudioFeaturesExpr]] for an exact 8-feature vector
+  * (layout, rate, duration, signal moments). Both are NULL for
+  * undecodable payloads. Only the modalities with no JDK codec
+  * (mp3/flac/matroska) and ML-model embeddings keep the deterministic
   * `fakeEmbedding` stand-in, which preserves the binary-in /
   * dense-`array<double>`-out contract a real deployment would fill with a
   * decoder+model. Everything else is real and tested: binary schemas,
@@ -57,13 +60,24 @@ object Multimodal {
       graft.functions.ImageFeaturesExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(bin)))
 
+  /** REAL audio feature extraction via the JDK's javax.sound.sampled —
+    * WAV/AIFF/AU; see [[graft.functions.AudioFeaturesExpr]] for the
+    * feature layout and determinism contract. NULL for payloads no JDK
+    * codec decodes (mp3/flac/ogg).
+    */
+  def audioFeatures(bin: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.AudioFeaturesExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(bin)))
+
   /** STUB feature extractor: deterministic pseudo-embedding in [-1, 1]^dim
     * derived from payload bytes (`xxhash64(bin, slot)` per slot). Still the
-    * documented stand-in for the modalities with no JDK codec (flac,
-    * matroska) and for ML-model embeddings; images have the real
-    * `imageFeatures` path above. The signature — binary in, dense
-    * `array<double>` out, one row per payload — is the contract the
-    * downstream similarity operators (VectorOps / llm_ann_ivf) consume.
+    * documented stand-in for the modalities with no JDK codec (mp3, flac,
+    * matroska) and for ML-model embeddings; images and WAV-family audio
+    * have the real `imageFeatures` / `audioFeatures` paths above. The
+    * signature — binary in, dense `array<double>` out, one row per
+    * payload — is the contract the downstream similarity operators
+    * (VectorOps / llm_ann_ivf) consume.
     */
   def fakeEmbedding(bin: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),

@@ -122,6 +122,69 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  /** Synthesize a 16-bit little-endian PCM WAV from exact integer samples
+    * (one channel per inner array) — like makeImage, a real JDK encoder
+    * round-trip, so the decoder under test sees a genuine container.
+    */
+  private def makeWav(rate: Float, channels: Array[Array[Short]]): Array[Byte] = {
+    val ch = channels.length
+    val n = channels(0).length
+    val bytes = new Array[Byte](n * ch * 2)
+    for (f <- 0 until n; c <- 0 until ch) {
+      val s = channels(c)(f)
+      val o = (f * ch + c) * 2
+      bytes(o) = (s & 0xff).toByte
+      bytes(o + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, ch, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFeatures: exact known-sample features on a synthesized WAV") {
+    val s = spark
+    import s.implicits._
+    // 4 mono frames with exact quarter-scale values: +8192, -8192, 0, +16384
+    // → normalized +0.25, -0.25, 0, +0.5 (all exact powers of two / 2^15).
+    val wav = makeWav(8000f,
+      Array(Array[Short](8192, -8192, 0, 16384)))
+    val f = Seq(Tuple1(wav)).toDF("data")
+      .select(Multimodal.audioFeatures(col("data")).as("f"))
+      .collect().head.getSeq[Double](0)
+    assert(f.size == graft.functions.AudioFeaturesExpr.Dim)
+    assert(f(0) == 1.0 && f(1) == 8000.0 && f(2) == 4.0, "layout")
+    assert(f(3) == 4.0 / 8000.0, "duration")
+    assert(f(4) == (0.25 - 0.25 + 0.0 + 0.5) / 4.0, "mean — exact dyadics")
+    assert(f(5) == math.sqrt((0.0625 + 0.0625 + 0.0 + 0.25) / 4.0), "rms")
+    assert(f(6) == 0.5, "peak")
+    // Sign sequence +,-,0,+ → two crossings: +→- directly, then -→+
+    // ACROSS the zero sample (zeros are skipped, not sign-resetting),
+    // over n-1 = 3 transitions.
+    assert(f(7) == 2.0 / 3.0, "zero-crossing rate")
+  }
+
+  test("audioFeatures: stereo channel-averaging is exact; junk is NULL") {
+    val s = spark
+    import s.implicits._
+    // Two channels that cancel exactly → all-zero mix; and a junk payload.
+    val wav = makeWav(44100f, Array(
+      Array[Short](16384, -16384, 8192),
+      Array[Short](-16384, 16384, -8192)))
+    val rows = Seq(("wav", wav), ("junk", "RIFFnope".getBytes(UTF_8)))
+      .toDF("kind", "data")
+      .select(col("kind"), Multimodal.audioFeatures(col("data")).as("f"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val f = rows("wav").get.asInstanceOf[scala.collection.Seq[Double]]
+    assert(f(0) == 2.0 && f(1) == 44100.0 && f(2) == 3.0)
+    assert(f(4) == 0.0 && f(5) == 0.0 && f(6) == 0.0 && f(7) == 0.0,
+      "cancelling channels mix to exact silence")
+    assert(rows("junk").isEmpty, "a RIFF prefix alone must not decode")
+  }
+
   test("imageFeatures: jpeg decodes with correct shape; junk is NULL") {
     val s = spark
     import s.implicits._
