@@ -118,6 +118,12 @@ object Bench {
     // tags its stdout line "filtered".
     val only: Set[String] = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Fail loud on unknown names (round-11 review): a typo'd query name
+    // would silently shrink the experiment's query set and the A/B's
+    // conclusions would be drawn from the wrong evidence.
+    val unknown = only.diff(SparkEntry.all.map(_.name).toSet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not declared in SparkEntry: ${unknown.mkString(", ")}")
     val toRun: Seq[Q] =
       if (only.isEmpty) SparkEntry.all else SparkEntry.all.filter(q => only(q.name))
     def median(xs: Seq[Double]): Double = {
@@ -247,22 +253,25 @@ object Bench {
     // (capped at the last 20), so a sidecar refresh preserves the series
     // it is judged against; tools/bench_runs.py runs N fresh-JVM rounds
     // and installs the MEDIAN admissible run's sidecar, never the best.
-    val sidecarPath = java.nio.file.Paths.get(repoDir, "BENCH_FULL.json")
-    // `sf` in each entry: the series accumulates across invocations, and a
-    // small-SF smoke run is otherwise indistinguishable from sf0.1 evidence.
-    val runEntry =
-      s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
-        s""""probe_after":$probeAfter}"""
-    val prevRuns: Seq[String] = try {
-      val txt = java.nio.file.Files.readString(sidecarPath)
-      """"runs":\[(.*)\]\}\s*$""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split("(?<=\\}),(?=\\{)").toSeq).getOrElse(Seq.empty)
-    } catch { case _: Throwable => Seq.empty }
-    val runs = (prevRuns :+ runEntry).takeRight(20).mkString("[", ",", "]")
     val canaryJson =
       s"""{"ran":$canaryRan,"warm_distinct":$warmDistinct,"dir":${jstr(warmDir)}}"""
     if (only.isEmpty) {
+      // Sidecar read/append lives entirely inside the unfiltered branch
+      // (round-11 review): filtered runs skip the sidecar, so building its
+      // runs series for them was dead I/O and misleading code.
+      val sidecarPath = java.nio.file.Paths.get(repoDir, "BENCH_FULL.json")
+      // `sf` in each entry: the series accumulates across invocations, and a
+      // small-SF smoke run is otherwise indistinguishable from sf0.1 evidence.
+      val runEntry =
+        s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
+          s""""probe_after":$probeAfter}"""
+      val prevRuns: Seq[String] = try {
+        val txt = java.nio.file.Files.readString(sidecarPath)
+        """"runs":\[(.*)\]\}\s*$""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split("(?<=\\}),(?=\\{)").toSeq).getOrElse(Seq.empty)
+      } catch { case _: Throwable => Seq.empty }
+      val runs = (prevRuns :+ runEntry).takeRight(20).mkString("[", ",", "]")
       try java.nio.file.Files.writeString(sidecarPath,
         s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
           s""""probe_after":$probeAfter,"stream_canary":$canaryJson,""" +

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.ByteArrayInputStream
 
 import javax.sound.sampled.AudioSystem
+import javax.sound.sampled.AudioFormat.{Encoding => E}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -68,39 +69,80 @@ case class AudioFeaturesExpr(child: Expression) extends UnaryExpression {
 object AudioFeaturesExpr {
   val Dim = 8
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    *
+    * Samples are decoded MANUALLY from the container's own PCM frames
+    * (round-11 review): the first cut piped everything through the JDK's
+    * PCM-to-PCM converter targeting 16-bit, but that codec only handles
+    * 8↔16-bit sign/endian swaps — a perfectly valid 24-bit or 32-bit or
+    * IEEE-float WAV would throw in the converter and be silently
+    * misclassified as "no JDK codec". Reading the raw frames and decoding
+    * signed/unsigned 8/16/24/32-bit integers and 32/64-bit floats directly
+    * keeps those payloads real (and exact); only a-law/µ-law still go
+    * through the JDK converter (that pair IS supported, to 16-bit signed).
+    */
   def compute(bytes: Array[Byte]): ArrayData = {
     val in =
       try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch { case _: Exception => return null }
     try {
-      val fmt = in.getFormat
-      // Normalize to signed 16-bit PCM: covers unsigned-8-bit and
-      // a-law/µ-law sources through the JDK's own converters, and gives a
-      // single exact integer sample path below.
-      val pcmFmt = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        fmt.getSampleRate, 16, fmt.getChannels,
-        2 * fmt.getChannels, fmt.getSampleRate, false)
+      val enc0 = in.getFormat.getEncoding
       val pcm =
-        if (fmt.matches(pcmFmt)) in
-        else AudioSystem.getAudioInputStream(pcmFmt, in)
-      val ch = pcmFmt.getChannels
-      val frameBytes = pcmFmt.getFrameSize
+        if (enc0 == E.ALAW || enc0 == E.ULAW) {
+          val f0 = in.getFormat
+          AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              E.PCM_SIGNED, f0.getSampleRate, 16, f0.getChannels,
+              2 * f0.getChannels, f0.getSampleRate, false), in)
+        } else in
+      val fmt = pcm.getFormat
+      val enc = fmt.getEncoding
+      val ch = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      val bytesPer = (bits + 7) / 8
+      val big = fmt.isBigEndian
+      val ok =
+        (enc == E.PCM_SIGNED || enc == E.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16 || bits == 24 || bits == 32) ||
+          enc == E.PCM_FLOAT && (bits == 32 || bits == 64)
+      if (!ok || ch <= 0) return null
+      val frameBytes =
+        if (fmt.getFrameSize > 0) fmt.getFrameSize else bytesPer * ch
+      if (frameBytes < bytesPer * ch) return null
       val data = pcm.readAllBytes()
       val nFrames = data.length / frameBytes
       if (nFrames == 0) return null
+      // Raw |bits|-bit word at offset o, assembled per container
+      // endianness, sign handling applied by the caller.
+      def word(o: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < bytesPer) {
+          val b = data(o + (if (big) bytesPer - 1 - i else i)) & 0xffL
+          v |= b << (8 * i)
+          i += 1
+        }
+        v
+      }
+      val half = 1L << (bits - 1) // integer full-scale divisor
+      def sample(o: Int): Double = enc match {
+        case E.PCM_SIGNED =>
+          ((word(o) << (64 - bits)) >> (64 - bits)).toDouble / half
+        case E.PCM_UNSIGNED =>
+          (word(o) - half).toDouble / half
+        case _ => // PCM_FLOAT, 32 or 64 bit
+          if (bits == 32) java.lang.Float.intBitsToFloat(word(o).toInt).toDouble
+          else java.lang.Double.longBitsToDouble(word(o))
+      }
       var sum = 0.0; var sum2 = 0.0; var peak = 0.0
       var zc = 0L; var prevSign = 0
       var f = 0
       while (f < nFrames) {
-        // Channel-average the frame; little-endian signed 16-bit.
+        // Channel-average the frame.
         var acc = 0.0
         var c = 0
         while (c < ch) {
-          val o = f * frameBytes + 2 * c
-          val s = ((data(o) & 0xff) | (data(o + 1) << 8)).toShort
-          acc += s / 32768.0
+          acc += sample(f * frameBytes + bytesPer * c)
           c += 1
         }
         val x = acc / ch
@@ -115,8 +157,8 @@ object AudioFeaturesExpr {
         f += 1
       }
       new GenericArrayData(Array[Double](
-        ch.toDouble, pcmFmt.getSampleRate.toDouble, nFrames.toDouble,
-        nFrames / pcmFmt.getSampleRate.toDouble,
+        ch.toDouble, fmt.getSampleRate.toDouble, nFrames.toDouble,
+        nFrames / fmt.getSampleRate.toDouble,
         sum / nFrames, math.sqrt(sum2 / nFrames), peak,
         if (nFrames > 1) zc.toDouble / (nFrames - 1) else 0.0))
     } catch { case _: Exception => null }

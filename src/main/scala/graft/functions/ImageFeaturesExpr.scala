@@ -77,23 +77,50 @@ case class ImageFeaturesExpr(child: Expression) extends UnaryExpression {
 object ImageFeaturesExpr {
   val Dim = 10
 
-  // Per-decode temp-file caching off: ImageIO's default spills every
-  // in-flight decode to a disk-backed cache file — per-ROW disk IO in a hot
-  // executor loop. In-memory cache streams are correct for byte-array
-  // sources and allocation-bounded.
-  ImageIO.setUseCache(false)
+  /** Decode-bomb bound (round-11 review): a few-KB payload can DECLARE an
+    * enormous raster (a classic decompression bomb) and make the decoder
+    * allocate w·h·4 bytes before any pixel is read — with many codegen
+    * lanes decoding concurrently that is an executor OOM, not a bad row.
+    * 16.7M pixels (≈ 4096×4096) caps the per-lane transient at ~64 MB
+    * (raster) + ~64 MB (packed int[]); larger declared images return NULL
+    * like any other undecodable payload. Readers expose the declared size
+    * BEFORE raster allocation, so the bound costs nothing on good rows.
+    */
+  val MaxPixels: Long = 1L << 24
 
   /** Static entry point shared by interpreted eval and generated code.
-    * Returns null for anything no registered reader can decode.
+    * Returns null for anything no registered reader can decode — the WHOLE
+    * body is guarded (not just the read): a post-read raster/color-model
+    * exception must also yield NULL, never a task failure (round-11
+    * review; AudioFeaturesExpr had the whole-body guard from the start).
     */
-  def compute(bytes: Array[Byte]): ArrayData = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+  def compute(bytes: Array[Byte]): ArrayData = try {
+    // A per-call MemoryCacheImageInputStream rather than the process-wide
+    // ImageIO.setUseCache(false) flag (round-11 review): the global setter
+    // would silently change decode caching for every other ImageIO user in
+    // the JVM; the explicit stream scopes "no temp-file spill per row" to
+    // this expression alone.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return null
+    val reader = readers.next()
+    val img = try {
+      reader.setInput(iis)
+      // Declared dimensions come from the header — checked BEFORE the
+      // raster is allocated (see MaxPixels).
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+      reader.read(0)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight
-    if (w <= 0 || h <= 0) return null
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     // One bulk getRGB: per-pixel calls go through the color model per call;
     // the bulk form converts the raster once into packed ARGB.
     val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -120,5 +147,5 @@ object ImageFeaturesExpr {
       w.toDouble, h.toDouble, w.toDouble / h.toDouble,
       rS / n, gS / n, bS / n,
       lMean, math.sqrt(lVar), lMin, lMax))
-  }
+  } catch { case _: Exception => null }
 }

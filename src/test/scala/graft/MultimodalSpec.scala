@@ -167,6 +167,76 @@ class MultimodalSpec extends GraftSpec {
     assert(f(7) == 2.0 / 3.0, "zero-crossing rate")
   }
 
+  /** Handcraft a canonical 44-byte-header RIFF/WAVE container so the bit depths
+    * the JDK WRITER won't emit (24-bit int, 32-bit float) still reach the
+    * decoder as genuine containers. formatCode 1 = integer PCM, 3 = IEEE
+    * float; little-endian throughout, mono.
+    */
+  private def rawWav(formatCode: Short, bits: Int, rate: Int,
+      sampleBytes: Array[Byte]): Array[Byte] = {
+    val bytesPer = bits / 8
+    val o = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(o)
+    def le32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit = d.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    d.writeBytes("RIFF"); le32(36 + sampleBytes.length); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(formatCode); le16(1)
+    le32(rate); le32(rate * bytesPer); le16(bytesPer); le16(bits)
+    d.writeBytes("data"); le32(sampleBytes.length); d.write(sampleBytes)
+    o.toByteArray
+  }
+
+  test("audioFeatures: 24-bit and float WAVs decode exactly (review fix)") {
+    val s = spark
+    import s.implicits._
+    // 24-bit: +2^22, -2^22, 0 → exact ±0.5, 0 after /2^23.
+    val s24 = Array(0x400000, -0x400000, 0).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte))
+    // float32: exact dyadics straight into the mix.
+    val sF = Array(0.5f, -0.25f, 0.25f, -0.5f).flatMap { v =>
+      val b = java.lang.Float.floatToIntBits(v)
+      Array((b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+        ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte)
+    }
+    val rows = Seq(
+      ("i24", rawWav(1, 24, 8000, s24)),
+      ("f32", rawWav(3, 32, 8000, sF)))
+      .toDF("kind", "data")
+      .select(col("kind"), Multimodal.audioFeatures(col("data")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val i24 = rows("i24")
+    assert(i24(0) == 1.0 && i24(1) == 8000.0 && i24(2) == 3.0, "24-bit layout")
+    assert(i24(4) == 0.0, "24-bit mean: +0.5 -0.5 +0 exactly cancels")
+    assert(i24(5) == math.sqrt((0.25 + 0.25 + 0.0) / 3.0), "24-bit rms")
+    assert(i24(6) == 0.5 && i24(7) == 0.5, "24-bit peak + 1 crossing / 2")
+    val f32 = rows("f32")
+    assert(f32(2) == 4.0, "float frames")
+    assert(f32(4) == (0.5 - 0.25 + 0.25 - 0.5) / 4.0, "float mean")
+    assert(f32(6) == 0.5 && f32(7) == 1.0, "float peak + all-alternating zcr")
+  }
+
+  test("imageFeatures: a decode-bomb header yields NULL, not an allocation") {
+    val s = spark
+    import s.implicits._
+    // A VALID png signature + IHDR declaring 65535×65535 (≈4.3G pixels,
+    // raster alone would be ~17 GB) — the reader must reject it from the
+    // header, before any raster allocation.
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val di = new java.io.DataOutputStream(ihdr)
+    di.writeBytes("IHDR"); di.writeInt(65535); di.writeInt(65535)
+    di.write(8); di.write(2); di.write(0); di.write(0); di.write(0)
+    val body = ihdr.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val d = new java.io.DataOutputStream(o)
+    d.writeInt(body.length - 4); d.write(body); d.writeInt(crc.getValue.toInt)
+    val f = Seq(Tuple1(o.toByteArray)).toDF("data")
+      .select(Multimodal.imageFeatures(col("data")).as("f"))
+      .collect().head
+    assert(f.isNullAt(0), "oversized declared raster must yield NULL")
+  }
+
   test("audioFeatures: stereo channel-averaging is exact; junk is NULL") {
     val s = spark
     import s.implicits._

@@ -57,7 +57,8 @@ def main():
         before_digest = digest()
         subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
                        stderr=subprocess.DEVNULL)
-        if digest() is None or digest() == before_digest:
+        after_digest = digest()  # read once: no double hash, no TOCTOU
+        if after_digest is None or after_digest == before_digest:
             sys.exit(f"run {i + 1}/{n}: graft.Bench did not refresh {side} "
                      "(write failed silently?) — aborting, not installing "
                      "stale data")

@@ -34,20 +34,30 @@ def burn(_):
     return s
 
 
-def membw(_):
-    # Memory-bandwidth leg (round 11): the r10 driver window inflated ONLY
-    # the block-manager-heavy LSH family (persist + localCheckpoint + block
-    # frees) while every CPU-shaped row held 1.0x under a HEALTHY arithmetic
-    # bracket — the arithmetic loop cannot see memory/copy capacity, which
-    # is the dimension those queries stress. One large bytearray copy pass
-    # per worker, GB/s reported. Recorded as evidence alongside aggregate;
-    # NOT yet an admissibility gate (calibration series too short).
-    buf = bytearray(256 * 1024 * 1024)
-    t0 = time.time()
-    dst = bytes(buf)  # one full copy: read 256 MiB + write 256 MiB
-    dt = time.time() - t0
-    del dst
-    return (2 * len(buf)) / dt
+# Memory-bandwidth leg (round 11): the r10 driver window inflated ONLY
+# the block-manager-heavy LSH family (persist + localCheckpoint + block
+# frees) while every CPU-shaped row held 1.0x under a HEALTHY arithmetic
+# bracket — the arithmetic loop cannot see memory/copy capacity, which is
+# the dimension those queries stress. Aggregate B/s reported. Recorded as
+# evidence alongside aggregate; NOT yet an admissibility gate (calibration
+# series too short). Measured as WALL-CLOCK of the whole concurrent pass
+# over PRE-ALLOCATED per-process buffers (round-11 review: summing
+# per-worker rates over partially-overlapping windows systematically
+# overstates bandwidth — the same reason `agg` divides by the pool's wall
+# time; a warm-up pass absorbs page-fault and pool-spawn skew).
+MEMBW_BYTES = 256 * 1024 * 1024
+_BW_BUF = None
+
+
+def bw_init():
+    global _BW_BUF
+    _BW_BUF = bytearray(MEMBW_BYTES)
+    _BW_BUF[::4096] = b"\x01" * len(_BW_BUF[::4096])  # fault every page in
+
+
+def bw_copy(_):
+    dst = bytes(_BW_BUF)  # one full copy: read 256 MiB + write 256 MiB
+    return len(dst)
 
 
 def main():
@@ -65,9 +75,11 @@ def main():
     # a 32-thread local bench actually sustains; full-ncpu fan-out would
     # measure allocator contention more than bandwidth.
     nbw = min(8, ncpu)
-    with mp.Pool(nbw) as pool:
-        bws = pool.map(membw, range(nbw))
-    bw = sum(bws)
+    with mp.Pool(nbw, initializer=bw_init) as pool:
+        pool.map(bw_copy, range(nbw))  # warm-up: spawn skew + page faults
+        t0 = time.time()
+        pool.map(bw_copy, range(nbw))
+        bw = nbw * 2 * MEMBW_BYTES / (time.time() - t0)
 
     per_cpu = agg / ncpu
     print(f"cpus={ncpu} single={single:.3g} it/s "
