@@ -47,6 +47,10 @@ object ScaleProbe {
     // round 8: the bucketed kNN (IVF candidates; sub-quadratic claim is
     // exactly what the wall ratio checks).
     "llm_knn_bucketed",
+    // round 11: the bounded-vocab unigram scorer — three linear token
+    // passes + K-bounded broadcasts; the wall ratio checks exactly that
+    // linearity.
+    "llm_unigram_score",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

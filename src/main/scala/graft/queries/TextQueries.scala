@@ -36,6 +36,19 @@ object TextQueries {
     */
   private val DfCap = 5
 
+  /** llm_unigram_score literals (same interpolated-literal discipline as
+    * DfCap): top-K unigram-table size and the rare-doc threshold on mean
+    * relative token frequency. Sized so BOTH branches bite on the driver
+    * corpus (31-token vocabulary, near-uniform ≈ 1/31 relative
+    * frequencies): K = 16 puts roughly half the vocabulary out-of-table,
+    * and 0.014 sits at the ~5th percentile of the resulting commonness
+    * distribution (median ≈ 0.019 [MEASURED] sf0.01) — the flag drops a
+    * low-quality MINORITY, the way a production perplexity filter is
+    * tuned, while both flag branches stay exercised at the driver gate.
+    */
+  private val UnigramVocabK = 16
+  private val RareThreshold = 0.014
+
   /** PII patterns for llm_pii_scrub, in the Java↔RE2-shared regex subset
     * (both engines see the identical runtime string — the Spark side goes
     * through the Column API, so no SQL-literal double-escaping). The phone
@@ -417,6 +430,72 @@ object TextQueries {
         GROUP BY tok
         ORDER BY n_occ DESC, tok
         LIMIT 30""")),
+
+    // H: bounded-vocabulary unigram-LM commonness score — the CCNet-style
+    // "LM quality filter" stage re-expressed in the repo's exact-arithmetic
+    // discipline: per doc, the mean RELATIVE corpus frequency of its
+    // tokens over a deterministic top-K unigram table (OOV tokens
+    // contribute 0), plus a keep/drop flag at a literal threshold. Docs
+    // full of rare/garbled tokens score low, boilerplate scores high —
+    // the same ranking an LM-perplexity filter produces, WITHOUT
+    // transcendentals: ln/exp differ from DuckDB's libm in the last ulp
+    // (fn_math, [MEASURED] r2), so the score is an exact-BIGINT token-
+    // frequency sum with ONE double division at the end (the agg_corr_cov
+    // discipline) — order-independent and hash-verifiable.
+    //
+    // Scale shape: three LINEAR passes over the exploded tokens (vocab
+    // count, total count, left join back), each one hash shuffle with
+    // map-side partial aggregation; the vocab table is top-K via
+    // TakeOrderedAndProject heaps (no global sort) and is K-BOUNDED BY
+    // CONSTRUCTION, so its broadcast (and the single-row total's) is
+    // legitimate at any corpus size — the corpus side never shuffle-joins.
+    // Tokenize is recomputed per pass rather than persisted, the
+    // contamination_capped recompute-over-persist policy. K = 16 and
+    // threshold 0.025 are test-scale literals both engines interpolate
+    // (the DfCap precedent); production vocabularies run 10^5-10^6.
+    Q(
+      "llm_unigram_score",
+      (s, d) => {
+        def toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
+          .where(col("tok").isNotNull) // explode_outer: see llm_vocab_topk
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("bigint").as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")) // deterministic tie-break
+          .limit(UnigramVocabK)
+        val total = toks.agg(count(lit(1)).cast("bigint").as("n_total"))
+        val commonness = col("tf_sum").cast("double") /
+          (col("n_toks") * col("n_total")).cast("double")
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_toks"),
+            sum(coalesce(col("cnt"), lit(0L))).cast("bigint").as("tf_sum"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_toks"), col("tf_sum"),
+            commonness.as("commonness"),
+            (commonness < lit(RareThreshold)).as("is_rare"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($toksAllDuck) AS tok FROM documents),
+        vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY tok
+          ORDER BY cnt DESC, tok LIMIT $UnigramVocabK),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        doc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_toks,
+                 CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS tf_sum
+          FROM tok t LEFT JOIN vocab v USING (tok)
+          GROUP BY t.doc_id)
+        SELECT doc_id, n_toks, tf_sum,
+               CAST(tf_sum AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE) AS commonness,
+               CAST(tf_sum AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE)
+                 < $RareThreshold AS is_rare
+        FROM doc, tot
+        ORDER BY doc_id""")),
 
     // H: benchmark decontamination — the standard train/eval n-gram overlap
     // check (GPT-3/PaLM-style: flag a training document when it shares ≥ k

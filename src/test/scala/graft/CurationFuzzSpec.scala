@@ -22,6 +22,10 @@ class CurationFuzzSpec extends GraftSpec {
 
   private val Queries = Seq(
     "llm_repetition", "llm_token_count", "llm_sample_stratified",
+    // Bounded-vocab unigram scorer: same tokenize surface, plus the
+    // top-K tie-break and the OOV coalesce-to-0 path, which the fuzz
+    // corpus (>16 distinct tokens incl. unicode/punctuation) forces.
+    "llm_unigram_score",
     "llm_vocab_topk", "llm_fingerprint", "llm_contamination",
     // PII scrub on the adversarial corpus: no PII-shaped strings, so both
     // engines must agree on the all-zeros path over unicode/punctuation.

@@ -166,6 +166,7 @@ class PlanAuditSpec extends GraftSpec {
     val needles = Seq(
       "fn_array" -> "split(",
       "llm_vocab_topk" -> "split(",
+      "llm_unigram_score" -> "split(",
       "llm_contamination" -> "array_join(")
     for ((q, needle) <- needles) {
       val dup = plan(q).linesIterator
@@ -239,6 +240,23 @@ class PlanAuditSpec extends GraftSpec {
     assert(hinted == 3,
       s"expected exactly the 3 answer-bound hinted broadcasts, got $hinted:\n" +
         p.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
+  }
+
+  test("llm_unigram_score joins the corpus map-side against K-bounded broadcasts") {
+    // The scale contract: the exploded-token stream joins the vocab table
+    // and the one-row total ONLY via hint-backed broadcasts (both bounded
+    // by construction — top-K limit / single row), so with auto-broadcast
+    // off the plan must still show exactly those BroadcastExchanges and
+    // the corpus side must never reach a shuffle join.
+    val p = planNoAutoBroadcast("llm_unigram_score")
+    assert("BroadcastExchange".r.findAllIn(p).size == 2,
+      s"expected exactly the vocab + total broadcasts:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle-join:\n${p.take(3000)}")
+    // TakeOrderedAndProject: the vocab top-K must be heap-based, not a
+    // global sort of the full vocabulary.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-K must plan as TakeOrderedAndProject:\n${p.take(3000)}")
   }
 
   test("IVF rerank tail never broadcasts the full embeddings table") {
