@@ -170,6 +170,32 @@ class OpPropertySpec extends GraftSpec {
     }
   }
 
+  test("unigram score: hand-computed planted values, exact") {
+    // 4 docs over a 2-token language where hand arithmetic is trivial:
+    //   doc 0: "a a a"   doc 1: "a b"   doc 2: "b"   doc 3: "z z z z"
+    // corpus counts: a=4, b=2, z=4; N=10; K=16 ≥ vocab so nothing is OOV.
+    //   commonness(0) = (4+4+4)/(3·10) = 0.4
+    //   commonness(1) = (4+2)/(2·10)   = 0.3
+    //   commonness(2) = 2/(1·10)       = 0.2
+    //   commonness(3) = 16/(4·10)      = 0.4
+    // All dyadic-exact, so == comparisons are legitimate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    val s = spark
+    import s.implicits._
+    Seq((0L, "a a a"), (1L, "a b"), (2L, "b"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_unigram_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(0L) == ((3L, 12L, 0.4, false)))
+    assert(out(1L) == ((2L, 6L, 0.3, false)))
+    assert(out(2L) == ((1L, 2L, 0.2, false)))
+    assert(out(3L) == ((4L, 16L, 0.4, false)))
+  }
+
   test("stratified sample: deterministic across runs, subset, rates honored") {
     val q = SparkEntry.queries("llm_sample_stratified")
     val run1 = q(spark, TestEnv.Sf01).collect().map(_.getLong(0)).toSeq
