@@ -105,7 +105,12 @@ object AudioFeaturesExpr {
         (enc == E.PCM_SIGNED || enc == E.PCM_UNSIGNED) &&
           (bits == 8 || bits == 16 || bits == 24 || bits == 32) ||
           enc == E.PCM_FLOAT && (bits == 32 || bits == 64)
-      if (!ok || ch <= 0) return null
+      // Sample-rate validity alongside the encoding/channel checks
+      // (round-11 ADVICE): a crafted header can declare rate 0 or the
+      // AudioSystem NOT_SPECIFIED sentinel (-1); duration and the rate
+      // feature would then be Infinity/garbage instead of honoring the
+      // NULL-for-undecodable contract.
+      if (!ok || ch <= 0 || !(fmt.getSampleRate > 0)) return null
       val frameBytes =
         if (fmt.getFrameSize > 0) fmt.getFrameSize else bytesPer * ch
       if (frameBytes < bytesPer * ch) return null

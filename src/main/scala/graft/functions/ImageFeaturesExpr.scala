@@ -102,21 +102,25 @@ object ImageFeaturesExpr {
     // this expression alone.
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
-    val readers = ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return null
-    val reader = readers.next()
+    // The no-registered-reader check lives INSIDE the try whose finally
+    // closes iis (round-11 ADVICE): an early return before that try leaked
+    // the stream on every non-image payload, leaving cleanup to GC.
     val img = try {
-      reader.setInput(iis)
-      // Declared dimensions come from the header — checked BEFORE the
-      // raster is allocated (see MaxPixels).
-      val w = reader.getWidth(0)
-      val h = reader.getHeight(0)
-      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-      reader.read(0)
-    } finally {
-      reader.dispose()
-      iis.close()
-    }
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // Declared dimensions come from the header — checked BEFORE the
+          // raster is allocated (see MaxPixels).
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      }
+    } finally iis.close()
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight

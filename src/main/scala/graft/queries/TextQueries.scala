@@ -450,9 +450,10 @@ object TextQueries {
     // CONSTRUCTION, so its broadcast (and the single-row total's) is
     // legitimate at any corpus size — the corpus side never shuffle-joins.
     // Tokenize is recomputed per pass rather than persisted, the
-    // contamination_capped recompute-over-persist policy. K = 16 and
-    // threshold 0.025 are test-scale literals both engines interpolate
-    // (the DfCap precedent); production vocabularies run 10^5-10^6.
+    // contamination_capped recompute-over-persist policy. K = 16
+    // (UnigramVocabK) and the RareThreshold keep/drop cut are test-scale
+    // literals both engines interpolate (the DfCap precedent); production
+    // vocabularies run 10^5-10^6.
     Q(
       "llm_unigram_score",
       (s, d) => {
@@ -464,8 +465,15 @@ object TextQueries {
           .orderBy(col("cnt").desc, col("tok")) // deterministic tie-break
           .limit(UnigramVocabK)
         val total = toks.agg(count(lit(1)).cast("bigint").as("n_total"))
-        val commonness = col("tf_sum").cast("double") /
-          (col("n_toks") * col("n_total")).cast("double")
+        // Two sequential double divisions, NOT a BIGINT n_toks*n_total
+        // product first (round-11 ADVICE): at real corpus sizes
+        // (n_total ~1e13 tokens) that product can exceed 2^63, where
+        // non-ANSI Spark wraps silently while DuckDB errors — the engines
+        // would diverge exactly at the scale the query targets. Division
+        // order is identical in the oracle, so the result stays
+        // deterministic and hash-verifiable.
+        val commonness =
+          col("tf_sum").cast("double") / col("n_toks") / col("n_total")
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).cast("bigint").as("n_toks"),
@@ -491,8 +499,8 @@ object TextQueries {
           FROM tok t LEFT JOIN vocab v USING (tok)
           GROUP BY t.doc_id)
         SELECT doc_id, n_toks, tf_sum,
-               CAST(tf_sum AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE) AS commonness,
-               CAST(tf_sum AS DOUBLE) / CAST(n_toks * n_total AS DOUBLE)
+               CAST(tf_sum AS DOUBLE) / n_toks / n_total AS commonness,
+               CAST(tf_sum AS DOUBLE) / n_toks / n_total
                  < $RareThreshold AS is_rare
         FROM doc, tot
         ORDER BY doc_id""")),

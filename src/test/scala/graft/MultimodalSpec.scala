@@ -215,6 +215,21 @@ class MultimodalSpec extends GraftSpec {
     assert(f32(6) == 0.5 && f32(7) == 1.0, "float peak + all-alternating zcr")
   }
 
+  test("audioFeatures: a declared sample rate of 0 yields NULL (advice fix)") {
+    val s = spark
+    import s.implicits._
+    // A structurally valid RIFF/WAVE whose fmt chunk declares rate 0: the
+    // JDK parser accepts the container, so without an explicit guard the
+    // duration feature divides by zero (Infinity) instead of honoring the
+    // NULL-for-undecodable contract.
+    val samples = Array[Byte](0, 0x40, 0, 0x40) // two 16-bit frames
+    val rows = Seq(Tuple1(rawWav(1, 16, 0, samples)))
+      .toDF("data")
+      .select(Multimodal.audioFeatures(col("data")).as("f"))
+      .collect()
+    assert(rows.head.isNullAt(0), "rate-0 header must decode to NULL")
+  }
+
   test("imageFeatures: a decode-bomb header yields NULL, not an allocation") {
     val s = spark
     import s.implicits._
