@@ -51,6 +51,12 @@ object ScaleProbe {
     // passes + K-bounded broadcasts; the wall ratio checks exactly that
     // linearity.
     "llm_unigram_score",
+    // round 12: segment-level exact dedup — array_distinct keeps the
+    // per-doc dedup map-side, segment hashes shuffle three linear times
+    // (own-agg, join-back, per-doc counts); the wall ratio checks that no
+    // stage is pair-quadratic even as segment duplication rises with the
+    // staged unions.
+    "llm_dedup_paragraph",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

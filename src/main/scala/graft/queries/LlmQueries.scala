@@ -260,6 +260,68 @@ object LlmQueries {
         GROUP BY key
         ORDER BY keep_id""")),
 
+    // H: paragraph/segment-level exact dedup — the Dolma/C4-style stage
+    // that dedups WITHIN documents' parts, not whole documents: a segment
+    // is kept iff this doc is the minimum doc_id among all docs containing
+    // it; output is per-doc kept/dropped segment counts. The fixture corpus
+    // is single-line (no '\n'), so the deterministic segmentation is
+    // consecutive 8-token windows (the shingle-slice idiom both engines
+    // share verbatim); production would split on newline runs first — the
+    // pipeline downstream of segmentation is identical.
+    //
+    // Scale shape: within-doc dedup is array_distinct BEFORE the explode
+    // (map-side — no corpus-wide (doc, seg) distinct shuffle), segments
+    // travel as md5 hashes (16 bytes, never the segment text), and the
+    // ownership table is corpus-bound so it joins back by SHUFFLE, never
+    // broadcast (a common boilerplate paragraph can appear in millions of
+    // docs — collect_set-style ownership would be unbounded state; pinned
+    // in PlanAuditSpec under auto-broadcast-off). Three linear hash
+    // shuffles total: groupBy(h), join-back on h, groupBy(doc_id).
+    Q(
+      "llm_dedup_paragraph",
+      (s, d) => {
+        def seg = Tables.documents(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks"))
+          .where(size(col("toks")) > 0)
+          // explode_outer + null guard (the llm_vocab_topk pattern): plain
+          // explode infers a size(...)>0 filter that re-runs the whole
+          // segment pipeline per doc. The array is non-empty by the guard
+          // above, so outer adds no rows.
+          .select(col("doc_id"), explode_outer(array_distinct(
+            expr("transform(sequence(0, (size(toks) - 1) div 8), " +
+              "i -> md5(array_join(slice(toks, i * 8 + 1, 8), ' ')))")))
+            .as("h"))
+          .where(col("h").isNotNull)
+        val own = seg.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        seg.join(own, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_segs"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .cast("bigint").as("n_kept"))
+          .select(col("doc_id"), col("n_segs"), col("n_kept"),
+            (col("n_segs") - col("n_kept")).cast("bigint").as("n_dropped"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        seg AS (
+          SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, ((len(toks) - 1) // 8) + 1),
+                     i -> md5(array_to_string(toks[i*8+1 : i*8+8], ' ')))) AS h
+            FROM t WHERE len(toks) > 0)),
+        own AS (SELECT h, min(doc_id) AS keep_id FROM seg GROUP BY h)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN s.doc_id = o.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(CASE WHEN s.doc_id = o.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM seg s JOIN own o USING (h)
+        GROUP BY s.doc_id
+        ORDER BY doc_id""")),
+
     // H: near-dup pairs by exact token-set Jaccard ≥ 0.8 over a bounded id
     // range — the oracle-able baseline. The UNBOUNDED scale form is
     // llm_neardup_minhash below; this one exists so the τ-thresholded

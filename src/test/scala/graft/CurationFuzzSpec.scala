@@ -41,7 +41,13 @@ class CurationFuzzSpec extends GraftSpec {
     // (doc_id < 200 / < 150), and the fuzz ids are 0..66, so the
     // all-pairs joins stay at ~2.2k pairs.
     "llm_neardup_jaccard", "llm_neardup_shingle", "llm_simhash_neardup",
-    "llm_dedup_norm")
+    "llm_dedup_norm",
+    // Segment-level dedup on the adversarial corpus: segment-less docs
+    // (empty / whitespace-only text) must vanish from BOTH engines, the
+    // giant within-doc repetition doc collapses to few distinct segments
+    // (array_distinct vs DISTINCT parity), and the duplicate-heavy fuzz
+    // sentences force cross-doc ownership (n_kept < n_segs) paths.
+    "llm_dedup_paragraph")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val dir = Files.createTempDirectory("graft_fuzz").toString

@@ -259,6 +259,25 @@ class PlanAuditSpec extends GraftSpec {
       s"vocab top-K must plan as TakeOrderedAndProject:\n${p.take(3000)}")
   }
 
+  test("llm_dedup_paragraph shuffles linearly; ownership never broadcasts") {
+    // The scale contract (LlmQueries comment): within-doc dedup is
+    // map-side (array_distinct before the explode — exactly ONE Generate,
+    // no re-run of the segment pipeline in a Filter), and the ownership
+    // table is corpus-bound, so with auto-broadcast off the join-back on
+    // the segment hash must be a SHUFFLE join with ZERO BroadcastExchanges
+    // anywhere in the plan.
+    val p = planNoAutoBroadcast("llm_dedup_paragraph")
+    assert(!p.contains("BroadcastExchange"),
+      s"ownership table must never broadcast (corpus-bound):\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"join-back on h must be a shuffle join:\n${p.take(3000)}")
+    assert("Generate ".r.findAllIn(p).size <= 2, // seg is referenced twice
+      s"segment pipeline must not be re-expanded beyond its two consumers:\n${p.take(3000)}")
+    val dup = p.linesIterator.filter(l => l.contains("Filter") && l.contains("slice("))
+    assert(dup.isEmpty,
+      s"segment pipeline re-evaluated in a Filter:\n${dup.mkString("\n")}")
+  }
+
   test("IVF rerank tail never broadcasts the full embeddings table") {
     // Round-9 verdict #1: broadcast(nb) re-attached candidate vectors by
     // broadcasting every corpus vector — multi-TB at 10¹⁰ × 64-d. With
