@@ -71,6 +71,42 @@ object TextQueries {
   private val PhoneP =
     "(^|[^0-9])((\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b)"
 
+  /** Constructed-container headers for the REAL-decode rows
+    * (llm_image_decode / llm_audio_decode): the fixture corpus carries no
+    * media payloads, so each row BUILDS a valid container in-query from
+    * sha256(text) bytes — a 4×2 24-bit bottom-up BMP (raw BGR, stride 12,
+    * no padding) and a 4-frame mono 16-bit/8kHz PCM WAV. Both formats are
+    * uncompressed, so the JDK decode is byte-transparent and DuckDB can
+    * compute the SAME features arithmetically from the hex digest with no
+    * codec — the only way a real ImageIO/javax.sound decode can face a
+    * driver-grade oracle in this sandbox (round-11 verdict #3).
+    */
+  private val BmpHeader: Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(o)
+    def le32(v: Int): Unit = dd.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit = dd.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    dd.writeBytes("BM"); le32(78); le32(0); le32(54)        // file header
+    le32(40); le32(4); le32(2); le16(1); le16(24)           // BITMAPINFOHEADER
+    le32(0); le32(24); le32(0); le32(0); le32(0); le32(0)
+    o.toByteArray
+  }
+
+  private val WavHeader: Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(o)
+    def le32(v: Int): Unit = dd.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit = dd.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    dd.writeBytes("RIFF"); le32(36 + 8); dd.writeBytes("WAVE")
+    dd.writeBytes("fmt "); le32(16); le16(1); le16(1)       // PCM, mono
+    le32(8000); le32(16000); le16(2); le16(16)              // 8kHz, 16-bit
+    dd.writeBytes("data"); le32(8)                          // 4 frames
+    o.toByteArray
+  }
+
+  /** DuckDB: byte j (0-based) of the sha256 hex string `h`, as INTEGER. */
+  private def shaByte(j: Int) = s"CAST(('0x' || substr(h, ${2 * j + 1}, 2)) AS INTEGER)"
+
   /** Portable 60-bit token hash (see file header). */
   private def tokHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("bigint")
@@ -359,6 +395,106 @@ object TextQueries {
                md5(text) AS fp_md5
         FROM b
         ORDER BY doc_id""")),
+
+    // H (multimodal, REAL decode): image feature extraction through the
+    // actual JDK ImageIO path, driver-oracle'd. Each doc's payload is a
+    // CONSTRUCTED 4×2 24-bit BMP (header literal + the first 24 sha256
+    // bytes as raw BGR pixels, bottom-up rows) — uncompressed, so
+    // ImageFeaturesExpr's decode is byte-transparent and DuckDB recomputes
+    // every feature arithmetically from the same digest: channel means
+    // replicate the decoder's exact accumulation order (getRGB scans
+    // top-row-first = file bytes 12..23 then 0..11; double addition is not
+    // associative, so the oracle unrolls the same left-assoc chain), and
+    // luminance min/max are order-independent. Map-only, zero corpus
+    // shuffles (pinned with the other map-only rows).
+    Q(
+      "llm_image_decode",
+      (s, d) => {
+        val px = substring(unhex(sha2(col("text").cast("binary"), 256)), 1, 24)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.Multimodal.imageFeatures(
+              concat(lit(BmpHeader), px)).as("f"))
+          .select(col("doc_id"),
+            col("f").getItem(0).as("img_w"),
+            col("f").getItem(1).as("img_h"),
+            col("f").getItem(2).as("aspect"),
+            col("f").getItem(3).as("mean_r"),
+            col("f").getItem(4).as("mean_g"),
+            col("f").getItem(5).as("mean_b"),
+            col("f").getItem(8).as("l_min"),
+            col("f").getItem(9).as("l_max"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        // getRGB pixel order → (B,G,R) file-byte offsets: top row is the
+        // SECOND stored row (bottom-up format), so i=0..3 → bytes 12..23,
+        // i=4..7 → bytes 0..11.
+        val pxs = (0 until 4).map(x => (12 + 3 * x, 13 + 3 * x, 14 + 3 * x)) ++
+          (0 until 4).map(x => (3 * x, 3 * x + 1, 3 * x + 2))
+        def chan(off: ((Int, Int, Int)) => Int): String =
+          "(" + pxs.map(p => s"(${shaByte(off(p))} / 255e0)").mkString(" + ") + ") / 8e0"
+        def lum(p: (Int, Int, Int)): String =
+          s"(2.99e-1 * (${shaByte(p._3)} / 255e0) + 5.87e-1 * (${shaByte(p._2)} / 255e0)" +
+            s" + 1.14e-1 * (${shaByte(p._1)} / 255e0))"
+        s"""
+        WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
+        SELECT doc_id,
+               4e0 AS img_w, 2e0 AS img_h, 2e0 AS aspect,
+               ${chan(_._3)} AS mean_r,
+               ${chan(_._2)} AS mean_g,
+               ${chan(_._1)} AS mean_b,
+               least(${pxs.map(lum).mkString(", ")}) AS l_min,
+               greatest(${pxs.map(lum).mkString(", ")}) AS l_max
+        FROM t
+        ORDER BY doc_id"""
+      }),
+
+    // H (multimodal, REAL decode): audio feature extraction through the
+    // actual javax.sound.sampled path, driver-oracle'd — same constructed-
+    // container trick as llm_image_decode: a 4-frame mono 16-bit/8kHz PCM
+    // WAV from sha256 bytes 24..31. 16-bit samples are v/2^15 — dyadic
+    // EXACT in double, so sums need no order replication; sqrt is IEEE
+    // correctly-rounded on both engines (unlike ln/exp — fn_math R2). The
+    // zero-crossing feature is the one output whose zero-sample-skipping
+    // chain SQL can't unroll cleanly, so it stays spec-pinned
+    // (MultimodalSpec) rather than declared.
+    Q(
+      "llm_audio_decode",
+      (s, d) => {
+        val pcm = substring(unhex(sha2(col("text").cast("binary"), 256)), 25, 8)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.Multimodal.audioFeatures(
+              concat(lit(WavHeader), pcm)).as("f"))
+          .select(col("doc_id"),
+            col("f").getItem(0).as("n_ch"),
+            col("f").getItem(1).as("sample_rate"),
+            col("f").getItem(2).as("n_frames"),
+            col("f").getItem(3).as("duration"),
+            col("f").getItem(4).as("amp_mean"),
+            col("f").getItem(5).as("amp_rms"),
+            col("f").getItem(6).as("amp_peak"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        // Frame f: little-endian signed 16-bit at digest bytes 24+2f/25+2f.
+        def x(f: Int): String = {
+          val lo = shaByte(24 + 2 * f); val hi = shaByte(25 + 2 * f)
+          s"(($lo + 256 * $hi - CASE WHEN $hi >= 128 THEN 65536 ELSE 0 END) / 32768e0)"
+        }
+        val xs = (0 until 4).map(x)
+        s"""
+        WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
+        SELECT doc_id,
+               1e0 AS n_ch, 8000e0 AS sample_rate, 4e0 AS n_frames,
+               4e0 / 8000e0 AS duration,
+               (${xs.mkString(" + ")}) / 4e0 AS amp_mean,
+               sqrt((${xs.map(v => s"$v * $v").mkString(" + ")}) / 4e0) AS amp_rms,
+               greatest(${xs.map(v => s"abs($v)").mkString(", ")}) AS amp_peak
+        FROM t
+        ORDER BY doc_id"""
+      }),
 
     // H: winnowing-style document fingerprint — min-md5 over 4-token
     // shingles (the classic rolling-window fingerprint with md5 standing

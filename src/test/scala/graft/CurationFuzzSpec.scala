@@ -42,6 +42,12 @@ class CurationFuzzSpec extends GraftSpec {
     // all-pairs joins stay at ~2.2k pairs.
     "llm_neardup_jaccard", "llm_neardup_shingle", "llm_simhash_neardup",
     "llm_dedup_norm",
+    // REAL-decode rows on the adversarial corpus: sha256-derived BMP/WAV
+    // containers decode for EVERY text (including empty/unicode), so the
+    // JDK decoder output must match DuckDB's arithmetic recomputation
+    // cell-for-cell — channel means in the decoder's accumulation order,
+    // dyadic-exact PCM moments.
+    "llm_image_decode", "llm_audio_decode",
     // Segment-level dedup on the adversarial corpus: segment-less docs
     // (empty / whitespace-only text) must vanish from BOTH engines, the
     // giant within-doc repetition doc collapses to few distinct segments

@@ -180,10 +180,22 @@ class PlanAuditSpec extends GraftSpec {
     // llm_repetition, llm_sample_stratified, and llm_pii_scrub claim ZERO
     // corpus shuffles; the only Exchange allowed is the rangepartitioning
     // for the final deterministic orderBy.
-    for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub")) {
+    for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub",
+        "llm_image_decode", "llm_audio_decode")) {
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("real-decode rows run the decode expression exactly once per row") {
+    // CollapseProject substituting the feature array into its 7-8 getItem
+    // consumers would run the full ImageIO / javax.sound decode that many
+    // times per row; the two-step projection must survive optimization.
+    for ((q, needle) <- Seq("llm_image_decode" -> "(?i)imagefeatures".r,
+        "llm_audio_decode" -> "(?i)audiofeatures".r)) {
+      val n = needle.findAllIn(plan(q)).size
+      assert(n == 1, s"$q: decode expression appears $n times in the plan (want 1)")
     }
   }
 
