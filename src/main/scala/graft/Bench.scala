@@ -57,7 +57,7 @@ object Bench {
             dropped.incrementAndGet()
       })
     val benchT0 = System.nanoTime()
-    case class Sample(sec: Double, at: Double, ev: Long)
+    case class Sample(sec: Double, at: Double, ev: Long, bw: Double = -1.0)
     // A crashed query must not enter the median looking like a fast
     // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
     // the raw samples (visible in BENCH_FULL.json) but excluded from the
@@ -81,7 +81,38 @@ object Bench {
       }
       prev
     }
+    // Per-sample membw channel (round-12, r11 verdict #1): the run-level
+    // probe bracket is end-of-run only, so a mid-run bandwidth dip — the
+    // r11 driver's 36.4 s minhash first sample under a healthy CPU bracket
+    // — was unattributable from the artifact. For the block-manager-heavy
+    // queries (persist + localCheckpoint + block frees stress memory/copy
+    // capacity, the dimension the CPU probe cannot see), a membw reading
+    // is taken immediately BEFORE each timed sample (outside the timed
+    // region; ~1.7 s via `host_probe.py --membw`, same probe shape and
+    // units as the run brackets) and recorded as `bw` in sample_meta. An
+    // inflated LSH sample now carries its own window evidence. Default set
+    // = the two queries three rounds of driver-window swings implicated;
+    // env-overridable for adjudication experiments.
+    val membwQueries: Set[String] =
+      sys.env.get("SPARK_GRAFT_MEMBW_QUERIES") match {
+        case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        case None => Set("llm_neardup_minhash", "llm_dedup_cluster")
+      }
+    def probeMembw(): Double = try {
+      val pb = new ProcessBuilder("python3",
+        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py").toString,
+        "--membw")
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor()
+      val num = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
+      s"membw=($num)".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
     def time(q: Q): Sample = {
+      val bw = if (membwQueries(q.name)) probeMembw() else -1.0
       val ev0 = settleDropped()
       // `at` is read AFTER the settle wait (round-10 ADVICE): settleDropped
       // can sleep up to 1 s, and the offset exists to position the TIMED
@@ -94,7 +125,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val ev = dropped.get() - ev0 // read BEFORE the cleanup sweep
       clearState()
-      Sample(if (ok) dt else -1.0, at, ev)
+      Sample(if (ok) dt else -1.0, at, ev, bw)
     }
     // Repeat-run mode, ADAPTIVE (round-7 verdict #1): a static allowlist
     // keyed to last round's swings always misses the next one, so ANY
@@ -243,9 +274,14 @@ object Bench {
     // Per-sample forensics for every query (see `Sample`): when each sample
     // started and how many storage blocks dropped inside its timed region.
     val meta = samples.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(s =>
-        s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}}""")
-        .mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map { s =>
+        // `bw` only for membw-flagged samples (-1 = not measured or probe
+        // failure — omitted rather than emitted, so its absence is the
+        // not-measured signal and a reader never mistakes -1 for a rate).
+        val bwField =
+          if (s.bw >= 0.0) s""","bw":${fix(s.bw, 0)}""" else ""
+        s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}$bwField}"""
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Run series (round-9 verdict #3): best-of-N sidecar selection
     // systematically understated variance — the spread itself must be an

@@ -7,9 +7,12 @@ surprise). Every run's {total, probe bracket} stays in the sidecar's
 `runs` series regardless of which run's per-query map is installed, so
 the spread itself is part of the artifact.
 
-Admissible = both bracketing host probes read aggregate >= 2.5e8 it/s
-(tools/host_probe.py calibration). If no run is admissible the median of
-all runs is installed with a loud warning — never the fastest.
+Admissible = both bracketing host probes read aggregate >= 2.5e8 it/s AND
+the bracket's best membw reading is >= 1.7e10 B/s (tools/host_probe.py
+calibration; the membw leg is round 12's — CPU-healthy but
+bandwidth-depressed windows inflate the block-manager-heavy LSH rows
+1.4-1.7x). If no run is admissible the median of all runs is installed
+with a loud warning — never the fastest.
 
 Usage: python3 tools/bench_runs.py [N]      (default 3)
 Env:   SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_REPEATS etc.
@@ -22,6 +25,15 @@ import subprocess
 import sys
 
 HEALTHY_AGG = 2.5e8  # keep in lockstep with tools/host_probe.py
+# Membw admissibility leg (round-12, r11 verdict #1; calibration in
+# tools/host_probe.py and SURVEY §6): a run is bandwidth-degraded when the
+# MAX of its two bracketing membw readings is below this line — one-sided
+# dips to 1.35e10 occur inside healthy runs, but every healthy-total run in
+# the 10-run calibration series has bracket max >= 1.75e10 while the one
+# degraded window (the r11 driver run, LSH rows 1.4-1.7x inflated under a
+# healthy CPU bracket) read bracket max 1.66e10. Runs predating the membw
+# leg (no reading in either probe) are not failed retroactively.
+HEALTHY_MEMBW = 1.7e10
 
 
 def main():
@@ -65,14 +77,26 @@ def main():
         with open(side) as f:
             sidecars.append(json.load(f))
         s = sidecars[-1]
+        bws = [p.get("membw") for p in (s["probe_before"], s["probe_after"])
+               if p and p.get("membw") is not None]
+        bw_tag = ("" if not bws or max(bws) >= HEALTHY_MEMBW
+                  else " MEMBW-DEGRADED(bracket max "
+                       f"{max(bws):.3g} < {HEALTHY_MEMBW:.3g})")
         print(f"run {i + 1}/{n}: total={s['total']:.1f}s "
-              f"probe_before={s['probe_before']} probe_after={s['probe_after']}")
+              f"probe_before={s['probe_before']} "
+              f"probe_after={s['probe_after']}{bw_tag}")
 
     def healthy(p):
         return bool(p) and p.get("agg", 0) >= HEALTHY_AGG
 
+    def membw_ok(s):
+        bws = [p.get("membw") for p in (s["probe_before"], s["probe_after"])
+               if p and p.get("membw") is not None]
+        return not bws or max(bws) >= HEALTHY_MEMBW  # no readings: legacy run
+
     adm = [s for s in sidecars
-           if healthy(s["probe_before"]) and healthy(s["probe_after"])]
+           if healthy(s["probe_before"]) and healthy(s["probe_after"])
+           and membw_ok(s)]
     pool = adm if adm else sidecars
     if not adm:
         print("WARNING: no run had a fully healthy probe bracket; installing "
