@@ -57,6 +57,11 @@ object ScaleProbe {
     // stage is pair-quadratic even as segment duplication rises with the
     // staged unions.
     "llm_dedup_paragraph",
+    // round 12: the two-level distributed prefix sum (seq packing) and the
+    // tf-idf keyword extractor — both all-linear claims (bounded window
+    // partitions / vocab-scale shuffle join + WindowGroupLimit heaps) that
+    // the wall ratio checks directly.
+    "llm_seq_pack", "llm_tfidf_topk",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

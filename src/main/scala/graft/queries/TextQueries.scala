@@ -49,6 +49,20 @@ object TextQueries {
   private val UnigramVocabK = 16
   private val RareThreshold = 0.014
 
+  /** llm_seq_pack literals (interpolated on both engines, DfCap precedent).
+    * PackBlockLen = tokens per training block; PackBucketWidth = documents
+    * per prefix-sum bucket. Test-scale values sized so every path is hot at
+    * the driver gate: L = 32 makes most fixture docs span a block boundary,
+    * W = 32 gives sf0.01 ~16 buckets (the cross-bucket offset path) while
+    * production runs W ~ 10^6 (bucket table = N/W rows — 10^4 at 10^10
+    * docs, trivially broadcastable).
+    */
+  private val PackBlockLen = 32L
+  private val PackBucketWidth = 32L
+
+  /** llm_tfidf_topk literal: keywords kept per document. */
+  private val TfidfTopK = 3
+
   /** PII patterns for llm_pii_scrub, in the Java↔RE2-shared regex subset
     * (both engines see the identical runtime string — the Spark side goes
     * through the Column API, so no SQL-literal double-escaping). The phone
@@ -640,6 +654,146 @@ object TextQueries {
                  < $RareThreshold AS is_rare
         FROM doc, tot
         ORDER BY doc_id""")),
+
+    // H: sequence packing — the GPT-style pretraining stage that
+    // concatenates documents in a deterministic order (doc_id) and chunks
+    // the token stream into fixed-length training blocks; per doc, its
+    // global token offset and the [first, last] block range it lands in.
+    // The core primitive is a CORPUS-WIDE EXCLUSIVE PREFIX SUM — the naive
+    // Window.orderBy(doc_id) form collapses the whole corpus into ONE
+    // window partition (the classic Spark scale-killer; it even warns), so
+    // this implements the two-level distributed scan instead: (1) bucket
+    // docs by doc_id range, (2) per-bucket token totals (one linear
+    // groupBy; bucket table is N/W rows — bounded tiny by construction, so
+    // ITS unpartitioned prefix-sum window and broadcast are legitimate at
+    // any corpus size), (3) within-bucket exclusive cumsum windowed BY
+    // BUCKET (bounded W-row partitions, parallel across buckets) plus the
+    // broadcast bucket offset. Exact BIGINT arithmetic end to end; both
+    // engines compute the identical global prefix sum, DuckDB via the
+    // single window the oracle can afford.
+    Q(
+      "llm_seq_pack",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toksAll(col("text"))).cast("bigint").as("n_toks"),
+            expr(s"CAST(doc_id AS BIGINT) div $PackBucketWidth").as("bkt"))
+        val bucketTotals = t.groupBy(col("bkt"))
+          .agg(sum(col("n_toks")).as("bkt_toks"))
+        val wBkt = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bucketOff = bucketTotals.select(col("bkt"),
+          coalesce(sum(col("bkt_toks")).over(wBkt), lit(0L))
+            .cast("bigint").as("bkt_off"))
+        val wDoc = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.join(broadcast(bucketOff), Seq("bkt"))
+          .select(col("doc_id"), col("n_toks"),
+            (col("bkt_off") + coalesce(sum(col("n_toks")).over(wDoc), lit(0L)))
+              .cast("bigint").as("tok_offset"))
+          // Token-less docs occupy no block: NULL range, 0 blocks (CASE
+          // with no ELSE on both engines). Integer `div` keeps the block
+          // arithmetic exact BIGINT — no double rounding at any offset.
+          .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+            when(col("n_toks") > 0,
+              expr(s"tok_offset div $PackBlockLen")).as("blk_first"),
+            when(col("n_toks") > 0,
+              expr(s"(tok_offset + n_toks - 1) div $PackBlockLen")).as("blk_last"))
+          .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+            col("blk_first"), col("blk_last"),
+            coalesce(col("blk_last") - col("blk_first") + 1, lit(0L))
+              .cast("bigint").as("n_blocks"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len($toksAllDuck) AS BIGINT) AS n_toks
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_toks,
+                 CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+          FROM t)
+        SELECT doc_id, n_toks, tok_offset,
+               CASE WHEN n_toks > 0
+                 THEN tok_offset // $PackBlockLen END AS blk_first,
+               CASE WHEN n_toks > 0
+                 THEN (tok_offset + n_toks - 1) // $PackBlockLen END AS blk_last,
+               CAST(CASE WHEN n_toks > 0
+                 THEN (tok_offset + n_toks - 1) // $PackBlockLen
+                   - tok_offset // $PackBlockLen + 1
+                 ELSE 0 END AS BIGINT) AS n_blocks
+        FROM o
+        ORDER BY doc_id""")),
+
+    // H: per-document keyword extraction — top-K tokens by tf·idf where
+    // idf is the RAW inverse document-frequency ratio n_docs/df, NOT
+    // log(n_docs/df): within one document the log variant ranks identically
+    // whenever tf ordering and df ordering agree, and the raw ratio keeps
+    // the score transcendental-free (ln differs from DuckDB's libm in the
+    // last ulp — fn_math [MEASURED] r2), so the whole row stays
+    // hash-verifiable: exact BIGINT counts, then one fixed-order double
+    // mul/div (IEEE-identical in both engines).
+    //
+    // Scale shape: tokenize explodes map-side; tf = one (doc, tok) hash
+    // shuffle with map-side partial agg; df aggregates the ALREADY-REDUCED
+    // tf table (vocab-scale input); tf⋈df SHUFFLE-joins on tok — the vocab
+    // is corpus-bound (10^9+ distinct tokens at web scale), so
+    // broadcasting it would be the llm_contamination anti-pattern, pinned
+    // under auto-broadcast-off; the single-row n_docs total is the only
+    // broadcast. Top-K per doc via rank-limit pushdown: row_number ≤ K
+    // becomes WindowGroupLimit (per-partition heaps before the final
+    // window sort) — no doc's full vocabulary survives the shuffle.
+    Q(
+      "llm_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        def toks = docs
+          .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
+          .where(col("tok").isNotNull) // explode_outer: see llm_vocab_topk
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).cast("bigint").as("tf"))
+        val dfT = tf.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("bigint").as("df"))
+        val nDocs = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok").asc) // total order: ties → token
+        tf.join(dfT, Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            (col("tf").cast("double") * col("n_docs").cast("double") /
+              col("df").cast("double")).as("score"))
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"),
+            row_number().over(w).cast("bigint").as("rk"))
+          .where(col("rk") <= TfidfTopK)
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      oracle = Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($toksAllDuck) AS tok FROM documents),
+        tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok),
+        df AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, tok, tf, df, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok ASC) AS BIGINT) AS rk
+          FROM sc)
+        SELECT doc_id, tok, tf, df, score, rk
+        FROM r WHERE rk <= $TfidfTopK
+        ORDER BY doc_id, rk""")),
 
     // H: benchmark decontamination — the standard train/eval n-gram overlap
     // check (GPT-3/PaLM-style: flag a training document when it shares ≥ k

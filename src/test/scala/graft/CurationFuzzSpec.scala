@@ -53,7 +53,18 @@ class CurationFuzzSpec extends GraftSpec {
     // giant within-doc repetition doc collapses to few distinct segments
     // (array_distinct vs DISTINCT parity), and the duplicate-heavy fuzz
     // sentences force cross-doc ownership (n_kept < n_segs) paths.
-    "llm_dedup_paragraph")
+    "llm_dedup_paragraph",
+    // Sequence packing on the adversarial corpus: token-less docs (empty /
+    // whitespace-only) take the NULL-block-range branch while still
+    // occupying a row of the prefix sum; the giant repetition doc spans
+    // many blocks; both engines must agree on the identical global
+    // exclusive prefix sum computed via different plans (two-level scan vs
+    // single window).
+    "llm_seq_pack",
+    // tf-idf keywords: the 16-word vocabulary makes score ties routine, so
+    // the (score DESC, tok ASC) total order is genuinely load-bearing;
+    // unicode/punctuation tokens exercise the tokenize surface.
+    "llm_tfidf_topk")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val dir = Files.createTempDirectory("graft_fuzz").toString

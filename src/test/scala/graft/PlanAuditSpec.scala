@@ -271,6 +271,43 @@ class PlanAuditSpec extends GraftSpec {
       s"vocab top-K must plan as TakeOrderedAndProject:\n${p.take(3000)}")
   }
 
+  test("llm_seq_pack prefix-sums two-level: no corpus-wide window partition") {
+    // The scale contract (TextQueries comment): the corpus-wide exclusive
+    // prefix sum must NOT plan as one global window partition. Exactly two
+    // Window nodes: the doc-level one PARTITIONED by bkt (bounded W-row
+    // partitions), and the unpartitioned one consuming only the aggregated
+    // N/W-row bucket table. The bucket-offset table is the plan's only
+    // BroadcastExchange (bounded by construction); the corpus side never
+    // shuffle-joins.
+    val p = planNoAutoBroadcast("llm_seq_pack")
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected exactly the two-level scan's two Window nodes:\n${p.take(3000)}")
+    assert("windowspecdefinition\\(bkt#\\d+L?, doc_id#".r.findFirstIn(p).isDefined,
+      s"doc-level cumsum must be PARTITIONED by bkt (a corpus-wide " +
+        s"unpartitioned window is the classic scale-killer):\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"expected exactly the bucket-offset broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle-join the bucket offsets:\n${p.take(3000)}")
+  }
+
+  test("llm_tfidf_topk shuffle-joins the vocab; rank-limit pushes down") {
+    // The scale contract (TextQueries comment): df is corpus-bound (web
+    // vocabularies run 10^9+ tokens), so tf⋈df must SHUFFLE-join on tok
+    // under auto-broadcast-off; the only hinted broadcast is the
+    // single-row n_docs total; and the row_number ≤ K filter must plan as
+    // WindowGroupLimit (per-partition heaps) so no document's full
+    // vocabulary survives to the window sort.
+    val p = planNoAutoBroadcast("llm_tfidf_topk")
+    assert("SortMergeJoin(?:[^\\n]*) \\[tok#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[tok#".r.findFirstIn(p).isDefined,
+      s"tf⋈df must shuffle-join on tok (vocab is corpus-bound):\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"expected exactly the single-row n_docs broadcast:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number ≤ K must push down as WindowGroupLimit:\n${p.take(3000)}")
+  }
+
   test("llm_dedup_paragraph shuffles linearly; ownership never broadcasts") {
     // The scale contract (LlmQueries comment): within-doc dedup is
     // map-side (array_distinct before the explode — exactly ONE Generate,
