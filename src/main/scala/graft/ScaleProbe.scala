@@ -62,6 +62,9 @@ object ScaleProbe {
     // partitions / vocab-scale shuffle join + WindowGroupLimit heaps) that
     // the wall ratio checks directly.
     "llm_seq_pack", "llm_tfidf_topk",
+    // round 12: int8 quantization audit — map-only over the vectors, so
+    // the wall ratio should track data size ≈ linearly.
+    "llm_emb_quant",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

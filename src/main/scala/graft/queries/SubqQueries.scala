@@ -42,5 +42,39 @@ object SubqQueries {
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
-        ORDER BY o_orderkey""")))
+        ORDER BY o_orderkey""")),
+
+    // TPC-H Q4 reshaped onto the fixture's column subset (no
+    // l_commitdate/l_receiptdate — the late-shipment predicate is
+    // l_shipdate > o_orderdate + 60 days): correlated EXISTS whose inner
+    // predicate mixes an equi correlation (l_orderkey = o_orderkey) with a
+    // NON-equi correlated comparison against an outer column — the shape
+    // that actually stresses the decorrelator. Catalyst rewrites it to one
+    // left-semi join with the range condition attached (no per-outer-row
+    // re-execution, no nested loop — pinned in PlanAuditSpec), so the plan
+    // is a single shuffle-parallel semi join at any fact size.
+    Q(
+      "subq_exists_corr",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sec")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sec")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n_late
+          FROM orders_sec
+          WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM lineitem_sec
+                        WHERE l_orderkey = o_orderkey
+                          AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n_late
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")))
 }

@@ -233,5 +233,75 @@ object VectorQueries {
         val (e, cents, cell, nprobe) = ivfIndex(s, d)
         ivfKnn(e, cents, cell, nprobe, probeMax = 100, k = 3)
       },
-      oracle = Some(ivfOracle(probeMax = 100, k = 3))))
+      oracle = Some(ivfOracle(probeMax = 100, k = 3))),
+
+    // H: symmetric int8 quantization audit — the memory-scale lever every
+    // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot
+    // kernels): per vector, max-abs scaling to [-127, 127] with
+    // round-half-up encoded as floor(x/scale·127 + ½) — NOT the engines'
+    // round() (HALF_UP vs banker's tie policies differ; floor(+½) is the
+    // identical IEEE op in both) — plus the reconstruction-quality metrics
+    // a quantization job reports: L2 norm (DotProduct ↔ list_dot_product,
+    // bit-identical accumulation), quantized min/max/sum, and max absolute
+    // dequantization error with the mul/div order fixed on both engines.
+    // Zero vectors (scale = 0) take the q≡0 branch via the same CASE both
+    // engines evaluate. Map-only: one projection pass over the vectors,
+    // ZERO corpus shuffles at any scale (plan-pinned to at most the
+    // oracle-ordering exchange) — the quantized corpus would be written
+    // back columnar and the int8 payload is 64 B/vector vs 256.
+    Q(
+      "llm_emb_quant",
+      (s, d) => {
+        val scaled = vecs(s, d).select(col("vec_id"), col("v"),
+          sqrt(VectorOps.dot(col("v"), col("v"))).as("l2_norm"),
+          array_max(transform(col("v"), x => abs(x))).as("scale"))
+        scaled
+          .select(col("vec_id"), col("l2_norm"), col("scale"),
+            when(col("scale") > 0,
+              transform(col("v"),
+                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+              .otherwise(transform(col("v"), _ => lit(0L))).as("q"),
+            col("v"))
+          .select(col("vec_id"),
+            size(col("v")).cast("bigint").as("dim"),
+            col("l2_norm"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            when(col("scale") > 0,
+              array_max(zip_with(col("q"), col("v"),
+                (q, x) => abs(q.cast("double") * col("scale") / 127d - x))))
+              .otherwise(lit(0d)).as("max_abs_err"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 sqrt(list_dot_product(v, v)) AS l2_norm,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        q AS (
+          SELECT vec_id, v, l2_norm, scale,
+                 CASE WHEN scale > 0
+                   THEN list_transform(v,
+                     x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                 END AS qv
+          FROM s)
+        SELECT vec_id,
+               CAST(len(v) AS BIGINT) AS dim,
+               l2_norm,
+               CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+               CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CASE WHEN scale > 0
+                 THEN list_aggregate(
+                   list_transform(range(1, len(v) + 1),
+                     i -> abs(CAST(qv[i] AS DOUBLE) * scale / 127 - v[i])),
+                   'max')
+                 ELSE 0.0 END AS max_abs_err
+        FROM q
+        ORDER BY vec_id""")))
 }

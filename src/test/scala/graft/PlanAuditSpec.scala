@@ -181,7 +181,7 @@ class PlanAuditSpec extends GraftSpec {
     // corpus shuffles; the only Exchange allowed is the rangepartitioning
     // for the final deterministic orderBy.
     for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub",
-        "llm_image_decode", "llm_audio_decode")) {
+        "llm_image_decode", "llm_audio_decode", "llm_emb_quant")) {
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
@@ -269,6 +269,18 @@ class PlanAuditSpec extends GraftSpec {
     // global sort of the full vocabulary.
     assert(p.contains("TakeOrderedAndProject"),
       s"vocab top-K must plan as TakeOrderedAndProject:\n${p.take(3000)}")
+  }
+
+  test("subq_exists_corr decorrelates to one semi join, no nested loop") {
+    // The correlated EXISTS (equi + non-equi correlated predicate) must
+    // rewrite to a single left-semi join — a BroadcastNestedLoopJoin here
+    // would mean the decorrelator failed and the plan re-scans lineitem
+    // per outer row at fact scale.
+    val p = plan("subq_exists_corr")
+    assert(p.contains("LeftSemi"),
+      s"expected the decorrelated left-semi join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"correlated EXISTS must not plan as a nested loop:\n${p.take(2000)}")
   }
 
   test("llm_seq_pack prefix-sums two-level: no corpus-wide window partition") {
