@@ -78,6 +78,40 @@ object WindowQueries {
         FROM orders
         ORDER BY o_custkey, o_orderdate, o_orderkey""")),
 
+    // Frame-edge value extraction: first/last/nth over the full-partition
+    // ROWS frame (last_value over the default frame is the classic footgun
+    // — it reads the current row, so the frame is spelled explicitly on
+    // both engines), plus an IGNORE NULLS variant over a constructed
+    // nullable (first order above a price threshold) — orders carries no
+    // nullable column, so the CASE builds one the same way on both sides.
+    Q(
+      "win_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+            first(when(col("o_totalprice") > 200000, col("o_orderkey")),
+              ignoreNulls = true).over(w).as("first_big"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey)  OVER w AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order,
+               first_value(CASE WHEN o_totalprice > 200000 THEN o_orderkey END
+                 IGNORE NULLS) OVER w AS first_big
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
     // Value-based frame: how many of my orders are within $1000 below this
     // one. Spelled in SQL on both sides (the DataFrame rangeBetween API
     // takes Long offsets only; the double-typed RANGE frame needs SQL).
