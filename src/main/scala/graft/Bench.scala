@@ -98,19 +98,34 @@ object Bench {
         case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
         case None => Set("llm_neardup_minhash", "llm_dedup_cluster")
       }
-    def probeMembw(): Double = try {
-      val pb = new ProcessBuilder("python3",
-        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py").toString,
-        "--membw")
+    // Shared spawn-and-parse scaffold for BOTH probe channels (round-12
+    // review: the per-sample path duplicated probe()'s subprocess code, and
+    // two hand-kept copies desynchronize the units the channels are
+    // documented to share). The wait is BOUNDED: a wedged python3 — a fork
+    // deadlock, or a child stuck under the very memory pressure the probe
+    // exists to detect — must degrade to the best-effort null/-1 contract,
+    // not hang the whole bench mid-run with no sidecar (the per-sample
+    // channel multiplies the exposure to every flagged sample). The tiny
+    // (<1 KB) probe output cannot fill the pipe buffer, so reading after
+    // the bounded wait cannot deadlock.
+    val probeNum = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
+    def runProbe(extraArgs: String*): Option[String] = try {
+      val cmd = Seq("python3",
+        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py").toString) ++
+        extraArgs
+      val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      p.waitFor()
-      val num = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
-      s"membw=($num)".r.findFirstMatchIn(out)
+      if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        None
+      } else Some(new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => None }
+    def probeMembw(): Double =
+      runProbe("--membw")
+        .flatMap(out => s"membw=($probeNum)".r.findFirstMatchIn(out))
         .map(_.group(1).toDouble).getOrElse(-1.0)
-    } catch { case _: Throwable => -1.0 }
     def time(q: Q): Sample = {
       val bw = if (membwQueries(q.name)) probeMembw() else -1.0
       val ev0 = settleDropped()
@@ -174,27 +189,19 @@ object Bench {
     // healthy, <= 1.5e8 do not bench); a JVM-side burn would need fresh
     // calibration and is JIT-elimination-prone. Best-effort: null if
     // python3 or the script is unavailable.
-    def probe(): String = try {
-      val pb = new ProcessBuilder("python3",
-        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py").toString)
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      p.waitFor()
-      val num = "[0-9][0-9.]*(?:[eE][+-]?[0-9]+)?"
-      val agg = s"aggregate=($num)".r.findFirstMatchIn(out).map(_.group(1))
-      val single = s"single=($num)".r.findFirstMatchIn(out).map(_.group(1))
-      // membw (round 11): memory-bandwidth leg, evidence-only — absent from
-      // older probe outputs, so it is optional in the parse.
-      val bw = s"membw=($num)".r.findFirstMatchIn(out).map(_.group(1))
+    def probe(): String = runProbe().map { out =>
+      val agg = s"aggregate=($probeNum)".r.findFirstMatchIn(out).map(_.group(1))
+      val single = s"single=($probeNum)".r.findFirstMatchIn(out).map(_.group(1))
+      // membw (round 11): memory-bandwidth leg — absent from older probe
+      // outputs, so it is optional in the parse.
+      val bw = s"membw=($probeNum)".r.findFirstMatchIn(out).map(_.group(1))
       (agg, single) match {
         case (Some(a), Some(s)) =>
           val bwField = bw.map(b => s""","membw":$b""").getOrElse("")
           s"""{"agg":$a,"single":$s$bwField}"""
         case _ => "null"
       }
-    } catch { case _: Throwable => "null" }
+    }.getOrElse("null")
     val probeBefore = probe()
     // Streaming warm-up canary (round-9 verdict #4): the first streaming
     // row in declaration order absorbed one-time streaming-infra warm-up

@@ -675,9 +675,15 @@ object TextQueries {
       "llm_seq_pack",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // NULL-text guard (round-12 review): under the pinned non-ANSI
+        // config Spark's size(NULL) is -1, which would silently shift every
+        // later doc's offset while DuckDB's len(NULL) = NULL drops the row
+        // from its prefix sum — both engines must agree a NULL-text doc has
+        // 0 tokens (occupies a row, spans no block), like empty text.
         val t = Tables.documents(s, d)
           .select(col("doc_id"),
-            size(toksAll(col("text"))).cast("bigint").as("n_toks"),
+            when(col("text").isNull, lit(0L))
+              .otherwise(size(toksAll(col("text"))).cast("bigint")).as("n_toks"),
             expr(s"CAST(doc_id AS BIGINT) div $PackBucketWidth").as("bkt"))
         val bucketTotals = t.groupBy(col("bkt"))
           .agg(sum(col("n_toks")).as("bkt_toks"))
@@ -709,7 +715,7 @@ object TextQueries {
       oracle = Some(s"""
         WITH t AS (
           SELECT doc_id,
-                 CAST(len($toksAllDuck) AS BIGINT) AS n_toks
+                 CAST(coalesce(len($toksAllDuck), 0) AS BIGINT) AS n_toks
           FROM documents),
         o AS (
           SELECT doc_id, n_toks,

@@ -112,4 +112,44 @@ class CurationFuzzSpec extends GraftSpec {
       }
     } finally con.close()
   }
+
+  test("llm_seq_pack: NULL-text docs count 0 tokens in both engines") {
+    // Round-12 review: under the pinned non-ANSI config Spark's size(NULL)
+    // is -1, which would silently shift every later doc's tok_offset while
+    // DuckDB's len(NULL) = NULL drops the row from its prefix sum. The
+    // declared contract is n_toks = 0 (the doc occupies a row, spans no
+    // block, and shifts nothing) — this corpus plants a NULL mid-stream so
+    // a regression breaks every doc after it, not just the NULL row. (The
+    // shared fuzz corpus can't carry NULL text: other rows' oracles have
+    // their own NULL-text semantics out of this row's scope.)
+    val dir = Files.createTempDirectory("graft_seqpack_null").toString
+    val rows = Seq(
+      (0L, "alpha beta gamma", "en", "src0"),
+      (1L, null.asInstanceOf[String], "en", "src1"), // planted NULL text
+      (2L, "delta " * 40 + "delta", "en", "src2"),   // spans blocks
+      (3L, "", "en", "src3"),                        // empty ≠ NULL, same 0
+      (4L, "epsilon zeta", "en", "src0"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Class.forName("org.duckdb.DuckDBDriver")
+    val con = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = con.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(s"CREATE VIEW documents AS SELECT * FROM " +
+        s"read_parquet('$dir/documents.parquet/*.parquet')")
+      st.close()
+      val q = SparkEntry.all.find(_.name == "llm_seq_pack").get
+      val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+      val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
+      assert(sCols == dCols)
+      assert(sRows.size == 5 && dRows.size == 5)
+      sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+        assert(s == d, s"llm_seq_pack NULL-corpus row $i differs:\n" +
+          s"  spark : $s\n  duckdb: $d")
+      }
+    } finally con.close()
+  }
 }

@@ -36,6 +36,20 @@ HEALTHY_AGG = 2.5e8  # keep in lockstep with tools/host_probe.py
 HEALTHY_MEMBW = 1.7e10
 
 
+def bracket_membws(s):
+    return [p.get("membw") for p in (s["probe_before"], s["probe_after"])
+            if p and p.get("membw") is not None]
+
+
+def membw_ok(s):
+    """Bracket-MAX rule (one-sided dips occur inside healthy runs); runs
+    predating the membw leg (no readings) are not failed retroactively.
+    The single source of truth for both the per-run print tag and the
+    admissibility gate (round-12 review: two copies diverge)."""
+    bws = bracket_membws(s)
+    return not bws or max(bws) >= HEALTHY_MEMBW
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     repo = os.environ.get("SPARK_GRAFT_REPO_DIR") or os.getcwd()
@@ -77,22 +91,15 @@ def main():
         with open(side) as f:
             sidecars.append(json.load(f))
         s = sidecars[-1]
-        bws = [p.get("membw") for p in (s["probe_before"], s["probe_after"])
-               if p and p.get("membw") is not None]
-        bw_tag = ("" if not bws or max(bws) >= HEALTHY_MEMBW
+        bw_tag = ("" if membw_ok(s)
                   else " MEMBW-DEGRADED(bracket max "
-                       f"{max(bws):.3g} < {HEALTHY_MEMBW:.3g})")
+                       f"{max(bracket_membws(s)):.3g} < {HEALTHY_MEMBW:.3g})")
         print(f"run {i + 1}/{n}: total={s['total']:.1f}s "
               f"probe_before={s['probe_before']} "
               f"probe_after={s['probe_after']}{bw_tag}")
 
     def healthy(p):
         return bool(p) and p.get("agg", 0) >= HEALTHY_AGG
-
-    def membw_ok(s):
-        bws = [p.get("membw") for p in (s["probe_before"], s["probe_after"])
-               if p and p.get("membw") is not None]
-        return not bws or max(bws) >= HEALTHY_MEMBW  # no readings: legacy run
 
     adm = [s for s in sidecars
            if healthy(s["probe_before"]) and healthy(s["probe_after"])
