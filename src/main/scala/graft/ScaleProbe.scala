@@ -65,6 +65,9 @@ object ScaleProbe {
     // round 12: int8 quantization audit — map-only over the vectors, so
     // the wall ratio should track data size ≈ linearly.
     "llm_emb_quant",
+    // round 12: incremental dedup — one reduced-old groupBy + one digest
+    // shuffle join + one per-key window; all linear in corpus size.
+    "llm_dedup_incremental",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

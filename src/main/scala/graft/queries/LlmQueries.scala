@@ -322,6 +322,70 @@ object LlmQueries {
         GROUP BY s.doc_id
         ORDER BY doc_id""")),
 
+    // H: INCREMENTAL dedup — the production pattern every crawl pipeline
+    // runs daily that none of the batch rows cover: dedup a NEW batch
+    // against an EXISTING corpus without reprocessing the corpus. Batch
+    // split is deterministic (doc_id % 10 == 0 ≈ the 10% daily increment);
+    // the key is llm_dedup_norm's normalized first-8-token key, hashed to
+    // md5 so only 16-byte digests travel. Per new doc: how many OLD docs
+    // share its key (n_old), whether it duplicates the corpus
+    // (dup_of_old), and whether it survives (keep = no old dup AND first
+    // of its key within the batch, by doc_id).
+    //
+    // Scale shape: the OLD side is the 100 TB corpus, so membership is a
+    // hash-SHUFFLE left join on the digest — never a broadcast in either
+    // direction (the new batch is billions of docs too; pinned under
+    // auto-broadcast-off: zero BroadcastExchange), and the old side
+    // reduces to one row per distinct key via map-side partial agg before
+    // the join. In production the old side's (h, n_old) table is exactly
+    // the incremental index one would persist between runs — this query IS
+    // the daily step against it.
+    Q(
+      "llm_dedup_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // coalesce('') on BOTH sides: a NULL text would otherwise key NULL
+        // here but md5('') in the oracle (array_join(NULL) is NULL while
+        // the oracle coalesces — the llm_seq_pack NULL-text lesson).
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(coalesce(array_join(
+              slice(filter(split(lower(col("text")), " "), t => t =!= ""),
+                1, 8), " "), lit(""))).as("h"))
+        val oldH = keyed.where(col("doc_id") % 10 =!= 0)
+          .groupBy(col("h")).agg(count(lit(1)).cast("bigint").as("n_old_raw"))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        keyed.where(col("doc_id") % 10 === 0)
+          .join(oldH, Seq("h"), "left")
+          .select(col("doc_id"), col("h"),
+            coalesce(col("n_old_raw"), lit(0L)).as("n_old"),
+            row_number().over(w).as("rn"))
+          .select(col("doc_id"), col("h"), col("n_old"),
+            (col("n_old") > 0).as("dup_of_old"),
+            (col("n_old") === 0 && col("rn") === 1).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 md5(coalesce(array_to_string((list_filter(
+                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '),
+                   '')) AS h
+          FROM documents),
+        old AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS n_old_raw
+          FROM k WHERE doc_id % 10 <> 0 GROUP BY h),
+        r AS (
+          SELECT n.doc_id, n.h, coalesce(o.n_old_raw, 0) AS n_old,
+                 row_number() OVER (PARTITION BY n.h ORDER BY n.doc_id) AS rn
+          FROM k n LEFT JOIN old o USING (h)
+          WHERE n.doc_id % 10 = 0)
+        SELECT doc_id, h, CAST(n_old AS BIGINT) AS n_old,
+               n_old > 0 AS dup_of_old,
+               (n_old = 0 AND rn = 1) AS keep
+        FROM r
+        ORDER BY doc_id""")),
+
     // H: near-dup pairs by exact token-set Jaccard ≥ 0.8 over a bounded id
     // range — the oracle-able baseline. The UNBOUNDED scale form is
     // llm_neardup_minhash below; this one exists so the τ-thresholded

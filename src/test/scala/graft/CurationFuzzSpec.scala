@@ -64,7 +64,12 @@ class CurationFuzzSpec extends GraftSpec {
     // tf-idf keywords: the 16-word vocabulary makes score ties routine, so
     // the (score DESC, tok ASC) total order is genuinely load-bearing;
     // unicode/punctuation tokens exercise the tokenize surface.
-    "llm_tfidf_topk")
+    "llm_tfidf_topk",
+    // Incremental dedup: the dup-heavy fuzz sentences put key collisions
+    // on BOTH sides of the old/new split (ids 0..66 → new = 0,10,…,60),
+    // forcing the dup_of_old, within-batch-dup, and clean-keep paths; the
+    // empty/whitespace adversarial docs all share the md5('') key.
+    "llm_dedup_incremental")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val dir = Files.createTempDirectory("graft_fuzz").toString

@@ -283,6 +283,18 @@ class PlanAuditSpec extends GraftSpec {
       s"correlated EXISTS must not plan as a nested loop:\n${p.take(2000)}")
   }
 
+  test("llm_dedup_incremental shuffle-joins the corpus index, no broadcast") {
+    // The scale contract (LlmQueries comment): BOTH sides of the
+    // membership join are corpus-scale (the old index AND the daily
+    // batch), so under auto-broadcast-off the left join on the digest must
+    // be a shuffle join with ZERO BroadcastExchanges anywhere.
+    val p = planNoAutoBroadcast("llm_dedup_incremental")
+    assert(!p.contains("BroadcastExchange"),
+      s"neither join side may broadcast (both corpus-scale):\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"membership must be a shuffle join on the digest:\n${p.take(3000)}")
+  }
+
   test("llm_seq_pack prefix-sums two-level: no corpus-wide window partition") {
     // The scale contract (TextQueries comment): the corpus-wide exclusive
     // prefix sum must NOT plan as one global window partition. Exactly two
