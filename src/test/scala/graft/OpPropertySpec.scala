@@ -220,4 +220,92 @@ class OpPropertySpec extends GraftSpec {
         s"$lang: kept $kept of $tot at rate $rate (expected ${tot * rate} ± ${4 * sigma + 1})")
     }
   }
+
+  test("seq_pack two-level scan == naive global-window prefix sum") {
+    // The declared query's whole scale story is replacing the
+    // single-partition Window.orderBy(doc_id) with the two-level bucket
+    // scan; this property runs BOTH on a random corpus (sparse
+    // non-contiguous ids spanning many buckets, NULL / empty / giant
+    // texts) and demands identical output — the naive form is the
+    // executable spec the DuckDB oracle also implements.
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_packprop").toString
+    val ids = rnd.shuffle((0L to 10000L).toVector).take(400).sorted
+    val texts = ids.map { i =>
+      rnd.nextInt(5) match {
+        case 0 => null.asInstanceOf[String]
+        case 1 => ""
+        case 2 => "tok " * (200 + rnd.nextInt(200)) + "tok" // spans blocks
+        case _ => Seq.fill(1 + rnd.nextInt(30))(s"w${rnd.nextInt(9)}").mkString(" ")
+      }
+    }
+    ids.zip(texts).map { case (i, t) => (i, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val declared = TestEnv.sparkRows(
+      SparkEntry.queries("llm_seq_pack")(s, dir))
+    val naiveW = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = TestEnv.sparkRows(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("bigint")).as("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(sum(col("n_toks")).over(naiveW), lit(0L))
+            .cast("bigint").as("tok_offset"))
+        .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+          when(col("n_toks") > 0, expr("tok_offset div 32")).as("blk_first"),
+          when(col("n_toks") > 0,
+            expr("(tok_offset + n_toks - 1) div 32")).as("blk_last"))
+        .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+          col("blk_first"), col("blk_last"),
+          coalesce(col("blk_last") - col("blk_first") + 1, lit(0L))
+            .cast("bigint").as("n_blocks"))
+        .orderBy(col("doc_id")))
+    assert(declared._1 == naive._1)
+    assert(declared._2 == naive._2,
+      "two-level scan diverged from the naive global prefix sum")
+  }
+
+  test("emb_quant matches an independent driver-side reimplementation") {
+    // Full independent recomputation (not just a bound): same IEEE ops in
+    // the same order in plain Scala — left-to-right Σx² (the DotProduct
+    // accumulation), ((x/scale)·127)+0.5 floor, ((q·scale)/127)−x — so
+    // every output cell must agree bit-for-bit, including a planted zero
+    // vector through the CASE branch.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quantprop").toString
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 200L).map { i =>
+      i -> (if (i == 7L) Seq.fill(16)(0f)
+            else Seq.fill(16)((rnd.nextFloat() * 2 - 1) * (1 + rnd.nextInt(5))))
+    }
+    vecs.map { case (i, v) => (i, v, s"l${i % 3}") }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("llm_emb_quant")(s, dir).collect()
+    assert(got.length == vecs.size)
+    for (r <- got) {
+      val v = vecs(r.getLong(0).toInt)._2.map(_.toDouble)
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      val scale = v.map(math.abs).max
+      val q =
+        if (scale > 0) v.map(x => math.floor(x / scale * 127d + 0.5d).toLong)
+        else v.map(_ => 0L)
+      val err =
+        if (scale > 0) q.zip(v).map { case (qi, x) =>
+          math.abs(qi.toDouble * scale / 127d - x) }.max
+        else 0d
+      assert(r.getLong(1) == 16L && r.getDouble(2) == norm &&
+        r.getLong(3) == q.min && r.getLong(4) == q.max &&
+        r.getLong(5) == q.sum && r.getDouble(6) == err,
+        s"vec ${r.getLong(0)}: $r vs (norm=$norm q_min=${q.min} " +
+          s"q_max=${q.max} q_sum=${q.sum} err=$err)")
+    }
+  }
 }
