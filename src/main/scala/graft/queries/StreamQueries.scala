@@ -149,6 +149,27 @@ object StreamQueries {
         FROM events JOIN customer ON user_id = c_custkey
         ORDER BY event_id""")),
 
+    // S12: stream-static ANTI join — the streaming twin of
+    // llm_dedup_incremental: live events checked against a static
+    // suppression index (dimension-scale, broadcast per micro-batch);
+    // only unsuppressed events pass. The oracle's NOT IN is null-safe
+    // here (neither key column is nullable), so it matches anti-join
+    // semantics exactly.
+    Q(
+      "stream_static_anti",
+      (s, d) => {
+        val xform = (ev: org.apache.spark.sql.DataFrame) =>
+          StreamOps.staticSuppress(ev, Tables.customer(s, d))
+        run("stream_static_anti", "append")(xform)(s, d)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE user_id NOT IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+        ORDER BY event_id""")),
+
     // S8: stateful signup→purchase funnel via flatMapGroupsWithState —
     // first purchase at-or-after the first signup, one row per converted
     // user, two longs of state per user.

@@ -115,6 +115,21 @@ object StreamOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment"))
 
+  /** S12 (round 12) — stream-static ANTI join: drop events whose user sits
+    * in a static suppression index (here: high-balance customers — any
+    * bounded "already seen / blocklisted" key set). The streaming twin of
+    * `llm_dedup_incremental`: the index is the persisted artifact of a
+    * batch run, the stream is the live increment checked against it. The
+    * static side is dimension-scale by contract, so it broadcasts per
+    * micro-batch; the stream side never shuffles for the join.
+    */
+  def staticSuppress(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.where(col("c_acctbal") > 8000)
+        .select(col("c_custkey"))),
+      col("user_id") === col("c_custkey"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   // ---------------------------------------------------------------- S8 ----
 
   /** Typed row for the stateful funnel. ts carried as epoch micros so the

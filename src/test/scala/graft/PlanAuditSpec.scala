@@ -96,6 +96,17 @@ class PlanAuditSpec extends GraftSpec {
     assert("ReadSchema: [^\\n]*l_orderkey".r.findFirstIn(p).isDefined)
   }
 
+  test("stream_static_anti broadcasts the suppression index as an anti join") {
+    // Static suppression index is dimension-scale by contract and hinted;
+    // the batch plan of the same transform must show a broadcast LeftAnti
+    // (an unhinted shuffle anti would re-shuffle the stream every batch).
+    val df = graft.streaming.StreamOps.staticSuppress(
+      Tables.events(spark, TestEnv.Sf01), Tables.customer(spark, TestEnv.Sf01))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n${p.take(1500)}")
+  }
+
   test("stream_static_join broadcasts the static dimension") {
     // Static side is wrapped in broadcast() in StreamOps.staticEnrich; the
     // batch plan of the same transform must show it.

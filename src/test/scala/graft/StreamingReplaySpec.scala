@@ -146,4 +146,11 @@ class StreamingReplaySpec extends GraftSpec {
     assertSame(runReplay("s8", "append", StreamOps.funnel),
       StreamOps.funnel(batchEvents), "user_id")
   }
+
+  test("S12 static anti-join suppresses identically across the replay") {
+    val customer = Tables.customer(spark, TestEnv.Sf001)
+    assertSame(
+      runReplay("s12", "append", ev => StreamOps.staticSuppress(ev, customer)),
+      StreamOps.staticSuppress(batchEvents, customer), "event_id")
+  }
 }
