@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.{MinHash, VectorOps}
@@ -31,6 +32,22 @@ object LlmQueries {
 
   private val toksSqlDuck =
     "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+  /** llm_dedup_norm's canonical key — first 8 lowercased tokens in document
+    * order — shared with llm_dedup_incremental (round-12 reuse factoring).
+    * Coalesced to '' on BOTH engines so token-less AND NULL texts key
+    * identically: Spark's array_join([]) is '' but array_join(NULL) is
+    * NULL, while the DuckDB side's array_to_string([]) is NULL — the
+    * coalesce is the one point where all four corners agree.
+    */
+  private def normKey(text: Column): Column =
+    coalesce(array_join(
+      slice(filter(split(lower(text), " "), t => t =!= ""), 1, 8), " "),
+      lit(""))
+
+  private val normKeyDuck =
+    "coalesce(array_to_string((list_filter(" +
+      "string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '), '')"
 
   /** inter / (|a| + |b| - inter) with the identical IEEE division shape on
     * both engines.
@@ -88,7 +105,6 @@ object LlmQueries {
     *              broadcast carries only token ids, never doc lists.
     */
   private[graft] def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         sort_array(array_distinct(
@@ -239,10 +255,7 @@ object LlmQueries {
       "llm_dedup_norm",
       (s, d) => {
         Tables.documents(s, d)
-          .select(col("doc_id"),
-            array_join(
-              slice(filter(split(lower(col("text")), " "), t => t =!= ""),
-                1, 8), " ").as("key"))
+          .select(col("doc_id"), normKey(col("text")).as("key"))
           .groupBy(col("key"))
           .agg(min(col("doc_id")).as("keep_id"),
             count(lit(1)).as("n_dups"))
@@ -251,9 +264,7 @@ object LlmQueries {
       },
       oracle = Some(s"""
         WITH t AS (
-          SELECT doc_id,
-                 coalesce(array_to_string((list_filter(
-                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '), '') AS key
+          SELECT doc_id, $normKeyDuck AS key
           FROM documents)
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups, key
         FROM t
@@ -343,15 +354,8 @@ object LlmQueries {
     Q(
       "llm_dedup_incremental",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // coalesce('') on BOTH sides: a NULL text would otherwise key NULL
-        // here but md5('') in the oracle (array_join(NULL) is NULL while
-        // the oracle coalesces — the llm_seq_pack NULL-text lesson).
-        val keyed = Tables.documents(s, d)
-          .select(col("doc_id"),
-            md5(coalesce(array_join(
-              slice(filter(split(lower(col("text")), " "), t => t =!= ""),
-                1, 8), " "), lit(""))).as("h"))
+            val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), md5(normKey(col("text"))).as("h"))
         val oldH = keyed.where(col("doc_id") % 10 =!= 0)
           .groupBy(col("h")).agg(count(lit(1)).cast("bigint").as("n_old_raw"))
         val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -365,12 +369,9 @@ object LlmQueries {
             (col("n_old") === 0 && col("rn") === 1).as("keep"))
           .orderBy(col("doc_id"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH k AS (
-          SELECT doc_id,
-                 md5(coalesce(array_to_string((list_filter(
-                   string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '),
-                   '')) AS h
+          SELECT doc_id, md5($normKeyDuck) AS h
           FROM documents),
         old AS (
           SELECT h, CAST(count(*) AS BIGINT) AS n_old_raw
@@ -705,8 +706,7 @@ object LlmQueries {
         val probe = e.where(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         val base = e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
-        import org.apache.spark.sql.expressions.Window
-        val scored = probe.join(base, col("q_id") =!= col("n_id"))
+            val scored = probe.join(base, col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             VectorOps.dot(col("q_v"), col("n_v")).as("dot"))
         scored

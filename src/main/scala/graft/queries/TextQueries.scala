@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -674,8 +675,7 @@ object TextQueries {
     Q(
       "llm_seq_pack",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // NULL-text guard (round-12 review): under the pinned non-ANSI
+            // NULL-text guard (round-12 review): under the pinned non-ANSI
         // config Spark's size(NULL) is -1, which would silently shift every
         // later doc's offset while DuckDB's len(NULL) = NULL drops the row
         // from its prefix sum — both engines must agree a NULL-text doc has
@@ -756,8 +756,7 @@ object TextQueries {
     Q(
       "llm_tfidf_topk",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
+            val docs = Tables.documents(s, d)
         def toks = docs
           .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
           .where(col("tok").isNotNull) // explode_outer: see llm_vocab_topk

@@ -20,6 +20,30 @@ import scala.util.Random
   */
 class CurationFuzzSpec extends GraftSpec {
 
+  /** Write `rows` as the corpus parquet under a fresh temp dir and hand the
+    * caller a DuckDB connection with the matching `documents` view (shared
+    * by both corpus tests — round-12 reuse factoring).
+    */
+  private def withCorpus(prefix: String, rows: Seq[(Long, String, String, String)])(
+      f: (String, java.sql.Connection) => Unit): Unit = {
+    val dir = Files.createTempDirectory(prefix).toString
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Class.forName("org.duckdb.DuckDBDriver")
+    val con = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = con.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      // Spark writes a part-file DIRECTORY; glob it for DuckDB.
+      st.execute(s"CREATE VIEW documents AS SELECT * FROM " +
+        s"read_parquet('$dir/documents.parquet/*.parquet')")
+      st.close()
+      f(dir, con)
+    } finally con.close()
+  }
+
   private val Queries = Seq(
     "llm_repetition", "llm_token_count", "llm_sample_stratified",
     // Bounded-vocab unigram scorer: same tokenize surface, plus the
@@ -72,7 +96,6 @@ class CurationFuzzSpec extends GraftSpec {
     "llm_dedup_incremental")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
-    val dir = Files.createTempDirectory("graft_fuzz").toString
     val rnd = new Random(0xF022)
     val words = Vector("the", "héllo", "wörld", "a", "b,", "x.y", "--", "ζ",
       "token", "TOKEN", "tok", "42", "0.5", "spam", "data{}", "\\q")
@@ -91,20 +114,7 @@ class CurationFuzzSpec extends GraftSpec {
     val rows = texts.zipWithIndex.map { case (t, i) =>
       (i.toLong, t, langs(i % langs.size), s"src${i % 4}")
     }
-    spark.createDataFrame(rows)
-      .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-
-    Class.forName("org.duckdb.DuckDBDriver")
-    val con = DriverManager.getConnection("jdbc:duckdb:")
-    val st = con.createStatement()
-    st.execute("SET TimeZone='UTC'")
-    // Spark writes a part-file DIRECTORY; glob it for DuckDB.
-    st.execute(s"CREATE VIEW documents AS SELECT * FROM " +
-      s"read_parquet('$dir/documents.parquet/*.parquet')")
-    st.close()
-    try {
+    withCorpus("graft_fuzz", rows) { (dir, con) =>
       for (q <- SparkEntry.all if Queries.contains(q.name); sql <- q.oracle) {
         val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
         val (dCols, dRows) = TestEnv.duckRows(con, sql)
@@ -115,7 +125,7 @@ class CurationFuzzSpec extends GraftSpec {
           assert(s == d, s"${q.name} row $i differs:\n  spark : $s\n  duckdb: $d")
         }
       }
-    } finally con.close()
+    }
   }
 
   test("llm_seq_pack: NULL-text docs count 0 tokens in both engines") {
@@ -127,25 +137,13 @@ class CurationFuzzSpec extends GraftSpec {
     // a regression breaks every doc after it, not just the NULL row. (The
     // shared fuzz corpus can't carry NULL text: other rows' oracles have
     // their own NULL-text semantics out of this row's scope.)
-    val dir = Files.createTempDirectory("graft_seqpack_null").toString
     val rows = Seq(
       (0L, "alpha beta gamma", "en", "src0"),
       (1L, null.asInstanceOf[String], "en", "src1"), // planted NULL text
       (2L, "delta " * 40 + "delta", "en", "src2"),   // spans blocks
       (3L, "", "en", "src3"),                        // empty ≠ NULL, same 0
       (4L, "epsilon zeta", "en", "src0"))
-    spark.createDataFrame(rows)
-      .toDF("doc_id", "text", "lang", "source")
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    Class.forName("org.duckdb.DuckDBDriver")
-    val con = DriverManager.getConnection("jdbc:duckdb:")
-    try {
-      val st = con.createStatement()
-      st.execute("SET TimeZone='UTC'")
-      st.execute(s"CREATE VIEW documents AS SELECT * FROM " +
-        s"read_parquet('$dir/documents.parquet/*.parquet')")
-      st.close()
+    withCorpus("graft_seqpack_null", rows) { (dir, con) =>
       val q = SparkEntry.all.find(_.name == "llm_seq_pack").get
       val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
       val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
@@ -155,6 +153,6 @@ class CurationFuzzSpec extends GraftSpec {
         assert(s == d, s"llm_seq_pack NULL-corpus row $i differs:\n" +
           s"  spark : $s\n  duckdb: $d")
       }
-    } finally con.close()
+    }
   }
 }

@@ -24,16 +24,14 @@ import os
 import subprocess
 import sys
 
-HEALTHY_AGG = 2.5e8  # keep in lockstep with tools/host_probe.py
-# Membw admissibility leg (round-12, r11 verdict #1; calibration in
-# tools/host_probe.py and SURVEY §6): a run is bandwidth-degraded when the
-# MAX of its two bracketing membw readings is below this line — one-sided
-# dips to 1.35e10 occur inside healthy runs, but every healthy-total run in
-# the 10-run calibration series has bracket max >= 1.75e10 while the one
-# degraded window (the r11 driver run, LSH rows 1.4-1.7x inflated under a
-# healthy CPU bracket) read bracket max 1.66e10. Runs predating the membw
+# Thresholds are single-sourced from the probe script itself (same dir on
+# sys.path when invoked as tools/bench_runs.py) — round-12 review: two
+# hand-duplicated constants drift. Calibration rationale lives at their
+# definitions in host_probe.py; the membw rule here is the BRACKET-MAX rule
+# (one-sided dips occur inside healthy runs), and runs predating the membw
 # leg (no reading in either probe) are not failed retroactively.
-HEALTHY_MEMBW = 1.7e10
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from host_probe import HEALTHY_AGG, HEALTHY_MEMBW  # noqa: E402
 
 
 def bracket_membws(s):
