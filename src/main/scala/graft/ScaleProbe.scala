@@ -68,6 +68,10 @@ object ScaleProbe {
     // round 12: incremental dedup — one reduced-old groupBy + one digest
     // shuffle join + one per-key window; all linear in corpus size.
     "llm_dedup_incremental",
+    // round 12: mixture calculator — one corpus count shuffle, then
+    // #sources-bounded arithmetic; the wall ratio checks the single-pass
+    // claim.
+    "llm_mix_weights",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

@@ -1025,6 +1025,69 @@ object TextQueries {
               < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
         ORDER BY doc_id""")),
 
+    // H: mixture-rebalancing calculator — the PLANNING half of data mixing
+    // whose APPLY half is llm_sample_stratified: given a literal target
+    // mixture over `source` (the Dolma/Pile "domain weights" input),
+    // derive per-source sampling rates for downsampling-only rebalancing.
+    // The feasible output size is T = min_s(n_s / target_s) — the binding
+    // source caps the corpus — and rate_s = target_s · T / n_s (= 1 for
+    // the binding source). Exact cross-engine: counts are BIGINT, every
+    // derived number is one fixed-order double div/mul chain, and the
+    // target literals are CAST AS DOUBLE in the oracle so neither engine
+    // sees a DECIMAL.
+    //
+    // Scale shape: ONE linear count shuffle over the corpus (map-side
+    // partial agg) and ONE corpus scan — the total and the feasibility min
+    // are unpartitioned-window aggregates over the POST-JOIN table, which
+    // is #sources-bounded, so the global window is legitimate at any
+    // corpus size (the seq_pack bucket-table argument; a first cut with
+    // separate agg branches re-scanned the corpus three times and the
+    // plan pin caught it). The target list is the only broadcast. Applying
+    // the computed rates is llm_sample_stratified's map-only zero-shuffle
+    // predicate.
+    Q(
+      "llm_mix_weights",
+      (s, d) => {
+        val targets = s.createDataFrame(Seq(
+          ("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)))
+          .toDF("source", "target")
+        val wAll = Window.partitionBy()
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"))
+          .join(broadcast(targets), Seq("source"))
+          .select(col("source"), col("n_docs"), col("target"),
+            sum(col("n_docs")).over(wAll).cast("bigint").as("n_total"),
+            min(col("n_docs").cast("double") / col("target")).over(wAll)
+              .as("t_feasible"))
+          .select(col("source"), col("n_docs"),
+            (col("n_docs").cast("double") / col("n_total")).as("frac"),
+            col("target"),
+            (col("target") * col("t_feasible") / col("n_docs").cast("double"))
+              .as("rate"),
+            (col("target") * col("t_feasible")).as("quota"))
+          .orderBy(col("source"))
+      },
+      oracle = Some("""
+        WITH tgt(source, target) AS (VALUES
+          ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+          ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        e AS (
+          SELECT c.source, c.n_docs, t.target,
+                 CAST(sum(c.n_docs) OVER () AS BIGINT) AS n_total,
+                 min(CAST(c.n_docs AS DOUBLE) / t.target) OVER () AS t_feasible
+          FROM c JOIN tgt t USING (source))
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / n_total AS frac,
+               target,
+               target * t_feasible / CAST(n_docs AS DOUBLE) AS rate,
+               target * t_feasible AS quota
+        FROM e
+        ORDER BY source""")),
+
     // H: within-document repetition signals (Gopher-style quality rules:
     // "top 2-gram fraction > τ → drop") — the curation filter the
     // cross-doc dedup family does NOT cover: a document can be unique in

@@ -93,7 +93,11 @@ class CurationFuzzSpec extends GraftSpec {
     // on BOTH sides of the old/new split (ids 0..66 → new = 0,10,…,60),
     // forcing the dup_of_old, within-batch-dup, and clean-keep paths; the
     // empty/whitespace adversarial docs all share the md5('') key.
-    "llm_dedup_incremental")
+    "llm_dedup_incremental",
+    // Mixture calculator: the fuzz corpus's src0..3 counts are uneven
+    // (67 docs round-robin'd over 4 sources), so the binding-source min
+    // and the rate=1 row are both exercised.
+    "llm_mix_weights")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val rnd = new Random(0xF022)

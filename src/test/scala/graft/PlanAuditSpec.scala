@@ -294,6 +294,23 @@ class PlanAuditSpec extends GraftSpec {
       s"correlated EXISTS must not plan as a nested loop:\n${p.take(2000)}")
   }
 
+  test("llm_mix_weights: ONE corpus scan, targets the only broadcast") {
+    // The scale contract (TextQueries comment): a single corpus scan and
+    // count shuffle; total + feasibility are window aggregates over the
+    // #sources-bounded post-join table, so under auto-broadcast-off the
+    // only BroadcastExchange is the target list and nothing shuffle-joins.
+    // The scan-count pin is the load-bearing one — the first cut computed
+    // the two globals as separate agg branches and re-scanned the corpus
+    // three times.
+    val p = planNoAutoBroadcast("llm_mix_weights")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"corpus must be scanned exactly once:\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"expected exactly the target-list broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"nothing may shuffle-join (all non-corpus sides are bounded):\n${p.take(3000)}")
+  }
+
   test("llm_dedup_incremental shuffle-joins the corpus index, no broadcast") {
     // The scale contract (LlmQueries comment): BOTH sides of the
     // membership join are corpus-scale (the old index AND the daily
