@@ -72,6 +72,10 @@ object ScaleProbe {
     // #sources-bounded arithmetic; the wall ratio checks the single-pass
     // claim.
     "llm_mix_weights",
+    // round 12: hierarchical IVF — the O(N·N^(1/4)) assignment whose whole
+    // reason to exist is this probe's wall ratio vs the flat rows'
+    // documented N^1.5 curve.
+    "llm_ann_hier",
     // round 8 (third session): the two new map-only curation rows — both
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality

@@ -18,11 +18,15 @@ import graft.functions.VectorOps
   */
 class AnnRecallSpec extends GraftSpec {
 
-  // Both IVF consumers: the 50-probe ANN row and the 100-probe bucketed
-  // kNN (round-8: llm_knn_per_vector's scale path) share the candidate
-  // generation this suite guards.
+  // All three IVF consumers: the 50-probe ANN row, the 100-probe bucketed
+  // kNN (round-8: llm_knn_per_vector's scale path), and the round-12
+  // hierarchical-assignment variant (two-level quantizer; a vector near a
+  // super-cell boundary can land in a different cell than the flat argmax,
+  // so its recall is the number this suite exists to bound) share the
+  // candidate generation this suite guards.
   for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01);
-       (qname, probeMax) <- Seq(("llm_ann_ivf", 50), ("llm_knn_bucketed", 100))) {
+       (qname, probeMax) <- Seq(("llm_ann_ivf", 50), ("llm_knn_bucketed", 100),
+         ("llm_ann_hier", 50))) {
     test(s"$qname recall@3 vs exact k-NN at $sf") {
       val ann = SparkEntry.queries(qname)(spark, sf)
         .select(col("q_id"), col("n_id")).collect()

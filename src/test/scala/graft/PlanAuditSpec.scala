@@ -385,7 +385,7 @@ class PlanAuditSpec extends GraftSpec {
     // auto-broadcast off, the hinted (promised-bounded) sides are the
     // √N centroids and the explicitly probeMax-filtered query vectors;
     // candidate re-attachment must shuffle-join on n_id.
-    for (q <- Seq("llm_ann_ivf", "llm_knn_bucketed")) {
+    for (q <- Seq("llm_ann_ivf", "llm_knn_bucketed", "llm_ann_hier")) {
       val p = planNoAutoBroadcast(q)
       assert("SortMergeJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined ||
         "ShuffledHashJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined,
