@@ -34,20 +34,28 @@ object LlmQueries {
     "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
 
   /** llm_dedup_norm's canonical key — first 8 lowercased tokens in document
-    * order — shared with llm_dedup_incremental (round-12 reuse factoring).
+    * order — shared with llm_dedup_incremental (round-12 reuse factoring)
+    * and, since round 13, with the streaming twin's per-event payload key
+    * (graft.streaming.StreamOps.incrementalDedup — hence private[graft]).
     * Coalesced to '' on BOTH engines so token-less AND NULL texts key
     * identically: Spark's array_join([]) is '' but array_join(NULL) is
     * NULL, while the DuckDB side's array_to_string([]) is NULL — the
     * coalesce is the one point where all four corners agree.
     */
-  private def normKey(text: Column): Column =
+  private[graft] def normKey(text: Column): Column =
     coalesce(array_join(
       slice(filter(split(lower(text), " "), t => t =!= ""), 1, 8), " "),
       lit(""))
 
-  private val normKeyDuck =
+  /** The DuckDB spelling of [[normKey]] over an arbitrary SQL expression
+    * (the batch rows key on `text`; the streaming twin keys on a
+    * concat_ws of the event payload fields).
+    */
+  private[graft] def normKeyDuckOn(sqlExpr: String): String =
     "coalesce(array_to_string((list_filter(" +
-      "string_split(lower(text), ' '), t -> t <> ''))[1:8], ' '), '')"
+      s"string_split(lower($sqlExpr), ' '), t -> t <> ''))[1:8], ' '), '')"
+
+  private val normKeyDuck = normKeyDuckOn("text")
 
   /** inter / (|a| + |b| - inter) with the identical IEEE division shape on
     * both engines.

@@ -170,6 +170,37 @@ object StreamQueries {
           (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
         ORDER BY event_id""")),
 
+    // S13: streaming corpus-ingest dedup against the incremental index —
+    // the live-increment twin of llm_dedup_incremental (round-12 verdict
+    // #4). The static side is the CORPUS-scale (h, n_old) key index, so
+    // unlike every other stream-static row it must SHUFFLE-join (pinned;
+    // broadcasting an ingest-history index is the 100 TB anti-pattern).
+    Q(
+      "stream_incr_dedup",
+      (s, d) => {
+        val idx = StreamOps.incrementalIndex(Tables.events(s, d))
+        val xform = (ev: org.apache.spark.sql.DataFrame) =>
+          StreamOps.incrementalDedup(ev, idx)
+        run("stream_incr_dedup", "append")(xform)(s, d)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(s"""
+        WITH k AS (
+          SELECT event_id,
+                 md5(${graft.queries.LlmQueries.normKeyDuckOn(
+                   "concat_ws(' ', event_type, user_id, props)")}) AS h
+          FROM events),
+        old AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS n_old_raw
+          FROM k WHERE event_id % 10 <> 0 GROUP BY h)
+        SELECT n.event_id, n.h,
+               CAST(coalesce(o.n_old_raw, 0) AS BIGINT) AS n_old,
+               coalesce(o.n_old_raw, 0) > 0 AS dup_of_old,
+               coalesce(o.n_old_raw, 0) = 0 AS keep
+        FROM k n LEFT JOIN old o USING (h)
+        WHERE n.event_id % 10 = 0
+        ORDER BY event_id""")),
+
     // S8: stateful signup→purchase funnel via flatMapGroupsWithState —
     // first purchase at-or-after the first signup, one row per converted
     // user, two longs of state per user.

@@ -58,7 +58,11 @@ object TextQueries {
     * production runs W ~ 10^6 (bucket table = N/W rows — 10^4 at 10^10
     * docs, trivially broadcastable).
     */
-  private val PackBlockLen = 32L
+  // private[graft]: OpPropertySpec's naive reference reimplementation
+  // interpolates the SAME constant (round-12 ADVICE — a hardcoded copy
+  // there would silently desynchronize the executable spec from the
+  // declared query if the block length were retuned).
+  private[graft] val PackBlockLen = 32L
   private val PackBucketWidth = 32L
 
   /** llm_tfidf_topk literal: keywords kept per document. */
@@ -462,6 +466,104 @@ object TextQueries {
                least(${pxs.map(lum).mkString(", ")}) AS l_min,
                greatest(${pxs.map(lum).mkString(", ")}) AS l_max
         FROM t
+        ORDER BY doc_id"""
+      }),
+
+    // H (multimodal, REAL decode, VARIABLE geometry): llm_image_decode
+    // fixes a 4×2 raster, so stride padding (BMP rows align to 4 bytes)
+    // is constant-zero there and the padding arithmetic never faces the
+    // driver oracle (round-12 verdict #5). This row derives w ∈ {1..4} and
+    // h ∈ {1,2} PER DOC from the first two sha256 bytes — across any
+    // corpus all four padding lengths {1,2,3,0} and both row counts occur
+    // — and builds each BMP header + bottom-up pixel rows + computed
+    // row padding IN-QUERY from byte-level expressions (every dynamic
+    // header field fits one byte at these sizes, so le32 = u8 ‖ 00 00 00).
+    // Pixel (x, image-row i counted from the top) carries digest bytes
+    // 2+3·(w·i+x)+{0,1,2} as B,G,R; the bottom-up file layout stores image
+    // row h−1 first, which is exactly the branch a fixed-geometry oracle
+    // can never falsify. DuckDB recomputes dims, aspect, channel means (in
+    // the decoder's top-row-first left-assoc accumulation order) and
+    // luminance extrema from the same derivation, codec-free, via one CASE
+    // arm per (w,h) combination. Map-only, zero corpus shuffles.
+    Q(
+      "llm_image_decode_var",
+      (s, d) => {
+        val sha = sha2(col("text").cast("binary"), 256)
+        def u8(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+        def le32b(c: Column): Column = concat(u8(c), lit(Array.fill[Byte](3)(0)))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (conv(substring(sha, 1, 2), 16, 10).cast("int") % 4 + 1).as("w"),
+            (conv(substring(sha, 3, 2), 16, 10).cast("int") % 2 + 1).as("hh"),
+            substring(unhex(sha), 3, 24).as("px"))
+          .withColumn("npad", (lit(4) - ((col("w") * 3) % 4)) % 4)
+          .select(col("doc_id"),
+            concat(
+              lit("BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+              le32b(lit(54) + (col("w") * 3 + col("npad")) * col("hh")),
+              lit(Array.fill[Byte](4)(0)),                 // reserved
+              lit(Array[Byte](54, 0, 0, 0, 40, 0, 0, 0)),  // px offset, hdr size
+              le32b(col("w")), le32b(col("hh")),
+              lit(Array[Byte](1, 0, 24, 0, 0, 0, 0, 0)),   // planes, bpp, BI_RGB
+              le32b((col("w") * 3 + col("npad")) * col("hh")),
+              lit(Array.fill[Byte](16)(0)),                // ppm + palette fields
+              // bottom-up rows: image row 1 first when h = 2, then row 0,
+              // each padded to the 4-byte stride.
+              expr("CASE WHEN hh = 2 THEN substring(px, 1 + 3*w, 3*w) " +
+                "ELSE CAST('' AS BINARY) END"),
+              expr("CASE WHEN hh = 2 THEN substring(X'000000', 1, npad) " +
+                "ELSE CAST('' AS BINARY) END"),
+              expr("substring(px, 1, 3*w)"),
+              expr("substring(X'000000', 1, npad)")).as("bmp"))
+          .select(col("doc_id"),
+            graft.operators.Multimodal.imageFeatures(col("bmp")).as("f"))
+          .select(col("doc_id"),
+            col("f").getItem(0).as("img_w"),
+            col("f").getItem(1).as("img_h"),
+            col("f").getItem(2).as("aspect"),
+            col("f").getItem(3).as("mean_r"),
+            col("f").getItem(4).as("mean_g"),
+            col("f").getItem(5).as("mean_b"),
+            col("f").getItem(8).as("l_min"),
+            col("f").getItem(9).as("l_max"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        // One CASE arm per (w,h): pixel (x, image-row i) → digest byte
+        // offsets 2+3(w·i+x); getRGB accumulates top row first, x left to
+        // right, left-assoc — mirrored exactly per arm.
+        val combos = for (w <- 1 to 4; hh <- 1 to 2) yield (w, hh)
+        def pxBytes(w: Int, hh: Int): Seq[Int] =
+          for (i <- 0 until hh; x <- 0 until w) yield 2 + 3 * (w * i + x)
+        def chanCase(sel: Int): String = combos.map { case (w, hh) =>
+          val chain = pxBytes(w, hh)
+            .map(b => s"(${shaByte(b + sel)} / 255e0)").mkString(" + ")
+          s"WHEN w = $w AND hh = $hh THEN ($chain) / ${w * hh}e0"
+        }.mkString("CASE ", " ", " END")
+        def lum(b: Int): String =
+          s"(2.99e-1 * (${shaByte(b + 2)} / 255e0) + " +
+            s"5.87e-1 * (${shaByte(b + 1)} / 255e0) + " +
+            s"1.14e-1 * (${shaByte(b)} / 255e0))"
+        def lumCase(f: String): String = combos.map { case (w, hh) =>
+          s"WHEN w = $w AND hh = $hh THEN $f(${pxBytes(w, hh).map(lum).mkString(", ")})"
+        }.mkString("CASE ", " ", " END")
+        s"""
+        WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        d AS (
+          SELECT doc_id, h,
+                 1 + (${shaByte(0)} % 4) AS w,
+                 1 + (${shaByte(1)} % 2) AS hh
+          FROM t)
+        SELECT doc_id,
+               CAST(w AS DOUBLE) AS img_w,
+               CAST(hh AS DOUBLE) AS img_h,
+               CAST(w AS DOUBLE) / hh AS aspect,
+               ${chanCase(2)} AS mean_r,
+               ${chanCase(1)} AS mean_g,
+               ${chanCase(0)} AS mean_b,
+               ${lumCase("least")} AS l_min,
+               ${lumCase("greatest")} AS l_max
+        FROM d
         ORDER BY doc_id"""
       }),
 

@@ -373,6 +373,23 @@ object VectorQueries {
       },
       oracle = Some(hierOracle(probeMax = 50, k = 3))),
 
+    // H (scale form): hierarchical bucketed kNN — llm_knn_bucketed's exact
+    // contract (probe set vec_id < 100, k = 3, same output schema and
+    // deterministic tiebreaks) over the two-level O(N·N^(1/4)) assignment,
+    // so BOTH kNN contracts (the 50-probe ANN row and the 100-probe
+    // per-vector row) have a ≥10×-scale-safe variant (round-12 verdict #3:
+    // the 30× probe measured the flat assignment at 136–158× wall — the
+    // documented N^1.5 curve — while the hier assignment ran the same data
+    // 39× faster). Shares ivfKnn's probe/rerank tail, the
+    // no-corpus-broadcast pins, and the AnnRecallSpec floor.
+    Q(
+      "llm_knn_hier",
+      (s, d) => {
+        val (e, cents, cell, nprobe) = hierIndex(s, d)
+        ivfKnn(e, cents, cell, nprobe, probeMax = 100, k = 3)
+      },
+      oracle = Some(hierOracle(probeMax = 100, k = 3))),
+
     // H: symmetric int8 quantization audit — the memory-scale lever every
     // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot
     // kernels): per vector, max-abs scaling to [-127, 127] with
@@ -433,7 +450,10 @@ object VectorQueries {
                l2_norm,
                CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
                CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
-               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               -- coalesce: DuckDB's list sum over an EMPTY list is NULL,
+               -- Spark's aggregate(q, 0L, +) is 0 — latent zero-length-
+               -- embedding divergence (round-12 ADVICE), normalized here.
+               CAST(coalesce(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
                CASE WHEN scale > 0
                  THEN list_aggregate(
                    list_transform(range(1, len(v) + 1),

@@ -130,6 +130,49 @@ object StreamOps {
       col("user_id") === col("c_custkey"), "left_anti")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** S13 (round 13) — streaming CORPUS-INGEST dedup against the
+    * incremental index: the round-12 verdict's missing S-row. Where
+    * `staticSuppress` checks a DIMENSION-scale blocklist (broadcast is the
+    * right plan), this is the daily-crawl shape at ingest granularity —
+    * each incoming record's payload is keyed by the SAME normalized-first-
+    * tokens md5 digest as `llm_dedup_incremental`, and membership is a
+    * stream-static LEFT join against the persisted (h, n_old) index of
+    * everything already ingested. The static side is CORPUS-scale (it
+    * grows with the ingest history, 10¹⁰⁺ keys at 100 TB), so this is the
+    * one streaming row where a broadcast would be the anti-pattern: no
+    * hint, and PlanAuditSpec pins the join to a SHUFFLE under
+    * auto-broadcast-off. Per event: n_old (how many prior records share
+    * its key), dup_of_old, keep = unseen key. The within-batch rn=1 leg of
+    * the batch row is deliberately absent — row_number is unsupported over
+    * a stream, and streaming-native within-stream dedup is `stream_dedup`
+    * (dropDuplicatesWithinWatermark), already declared.
+    */
+  def incrementalDedup(events: DataFrame, index: DataFrame): DataFrame =
+    events.where(col("event_id") % 10 === 0)
+      .select(col("event_id"),
+        md5(graft.queries.LlmQueries.normKey(
+          concat_ws(" ", col("event_type"), col("user_id"), col("props"))))
+          .as("h"))
+      .join(index, Seq("h"), "left")
+      .select(col("event_id"), col("h"),
+        coalesce(col("n_old_raw"), lit(0L)).as("n_old"))
+      .select(col("event_id"), col("h"), col("n_old"),
+        (col("n_old") > 0).as("dup_of_old"),
+        (col("n_old") === 0).as("keep"))
+
+  /** The persisted side of [[incrementalDedup]]: one (h, n_old_raw) row
+    * per distinct payload key over the already-ingested history (here: the
+    * 90% split of the same events table — the batch that ran yesterday).
+    * Map-side partial agg collapses it to one row per key before any
+    * exchange, exactly like llm_dedup_incremental's old side.
+    */
+  def incrementalIndex(history: DataFrame): DataFrame =
+    history.where(col("event_id") % 10 =!= 0)
+      .select(md5(graft.queries.LlmQueries.normKey(
+        concat_ws(" ", col("event_type"), col("user_id"), col("props"))))
+        .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("bigint").as("n_old_raw"))
+
   // ---------------------------------------------------------------- S8 ----
 
   /** Typed row for the stateful funnel. ts carried as epoch micros so the

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{DotProduct, VectorOps}
+import graft.queries.TextQueries
 
 /** SURVEY §5.2(3) — the operator-level properties beyond the MinHash
   * sketch: dedup idempotence, top-k ⊆ sorted prefix, similarity symmetry
@@ -259,9 +260,14 @@ class OpPropertySpec extends GraftSpec {
           coalesce(sum(col("n_toks")).over(naiveW), lit(0L))
             .cast("bigint").as("tok_offset"))
         .select(col("doc_id"), col("n_toks"), col("tok_offset"),
-          when(col("n_toks") > 0, expr("tok_offset div 32")).as("blk_first"),
+          // Block length interpolated from the query's own constant
+          // (round-12 ADVICE: a hardcoded 32 here desynchronizes the
+          // executable spec from the declared query if L is retuned).
           when(col("n_toks") > 0,
-            expr("(tok_offset + n_toks - 1) div 32")).as("blk_last"))
+            expr(s"tok_offset div ${TextQueries.PackBlockLen}")).as("blk_first"),
+          when(col("n_toks") > 0,
+            expr(s"(tok_offset + n_toks - 1) div ${TextQueries.PackBlockLen}"))
+            .as("blk_last"))
         .select(col("doc_id"), col("n_toks"), col("tok_offset"),
           col("blk_first"), col("blk_last"),
           coalesce(col("blk_last") - col("blk_first") + 1, lit(0L))

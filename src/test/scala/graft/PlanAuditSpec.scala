@@ -107,6 +107,26 @@ class PlanAuditSpec extends GraftSpec {
       s"expected broadcast anti join:\n${p.take(1500)}")
   }
 
+  test("stream_incr_dedup shuffle-joins the corpus-scale index, no broadcast") {
+    // The one stream-static row where broadcast would be WRONG: the static
+    // side is the ingest-history key index (corpus-scale by contract, like
+    // llm_dedup_incremental's old side), so under auto-broadcast-off the
+    // batch form of the same transform must show a SHUFFLE left join with
+    // ZERO BroadcastExchanges — a hint here would ship 10¹⁰⁺ keys to every
+    // executor per micro-batch.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    val ev = Tables.events(s, TestEnv.Sf01)
+    val df = graft.streaming.StreamOps.incrementalDedup(
+      ev, graft.streaming.StreamOps.incrementalIndex(ev))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"),
+      s"the ingest-history index must never broadcast:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"membership must be a shuffle join on the digest:\n${p.take(3000)}")
+  }
+
   test("stream_static_join broadcasts the static dimension") {
     // Static side is wrapped in broadcast() in StreamOps.staticEnrich; the
     // batch plan of the same transform must show it.
@@ -192,7 +212,8 @@ class PlanAuditSpec extends GraftSpec {
     // corpus shuffles; the only Exchange allowed is the rangepartitioning
     // for the final deterministic orderBy.
     for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub",
-        "llm_image_decode", "llm_audio_decode", "llm_emb_quant")) {
+        "llm_image_decode", "llm_image_decode_var", "llm_audio_decode",
+        "llm_emb_quant")) {
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
@@ -204,6 +225,7 @@ class PlanAuditSpec extends GraftSpec {
     // consumers would run the full ImageIO / javax.sound decode that many
     // times per row; the two-step projection must survive optimization.
     for ((q, needle) <- Seq("llm_image_decode" -> "(?i)imagefeatures".r,
+        "llm_image_decode_var" -> "(?i)imagefeatures".r,
         "llm_audio_decode" -> "(?i)audiofeatures".r)) {
       val n = needle.findAllIn(plan(q)).size
       assert(n == 1, s"$q: decode expression appears $n times in the plan (want 1)")
@@ -385,7 +407,8 @@ class PlanAuditSpec extends GraftSpec {
     // auto-broadcast off, the hinted (promised-bounded) sides are the
     // √N centroids and the explicitly probeMax-filtered query vectors;
     // candidate re-attachment must shuffle-join on n_id.
-    for (q <- Seq("llm_ann_ivf", "llm_knn_bucketed", "llm_ann_hier")) {
+    for (q <- Seq("llm_ann_ivf", "llm_knn_bucketed", "llm_ann_hier",
+        "llm_knn_hier")) {
       val p = planNoAutoBroadcast(q)
       assert("SortMergeJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined ||
         "ShuffledHashJoin(?:[^\\n]*) \\[n_id#".r.findFirstIn(p).isDefined,
