@@ -57,7 +57,8 @@ object Bench {
             dropped.incrementAndGet()
       })
     val benchT0 = System.nanoTime()
-    case class Sample(sec: Double, at: Double, ev: Long, bw: Double = -1.0)
+    case class Sample(sec: Double, at: Double, ev: Long, bw: Double = -1.0,
+      bwAfter: Double = -1.0, hb: Seq[Double] = Nil)
     // A crashed query must not enter the median looking like a fast
     // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
     // the raw samples (visible in BENCH_FULL.json) but excluded from the
@@ -126,21 +127,85 @@ object Bench {
       runProbe("--membw")
         .flatMap(out => s"membw=($probeNum)".r.findFirstMatchIn(out))
         .map(_.group(1).toDouble).getOrElse(-1.0)
+    // In-sample membw heartbeat (round-13 verdict #1, the twice-deferred
+    // instrument): the per-sample probes still sit OUTSIDE the timed
+    // region, so a bandwidth collapse that starts after the before-probe
+    // and ends before the after-probe — the exact shape of the r11-r13
+    // inflated LSH samples — is invisible to both. While a flagged sample
+    // runs, ONE daemon thread copies a 64 MiB buffer in a loop and records
+    // the achieved copy rate (read+write B/s) once per second; the series
+    // lands in sample_meta as `hb`. The absolute level is single-thread
+    // (≈ an order below the 8-worker probe figure, and further depressed
+    // by the query's own memory traffic) so it is NOT on the probe's
+    // calibrated scale — the signal is RELATIVE: an inflated sample whose
+    // hb series craters mid-run versus its siblings is convicted as a
+    // host-window artifact; one that holds level falsifies the membw
+    // explanation. Costs one of 32 threads during flagged samples only —
+    // a uniform measurement tax on those two queries from round 14 on.
+    // The src(0) write-back creates a loop-carried dependency so the JIT
+    // cannot elide the copy; buffers are allocated once and reused.
+    object Heartbeat {
+      private val Len = 64 * 1024 * 1024
+      private lazy val src = new Array[Byte](Len)
+      private lazy val dst = new Array[Byte](Len)
+      @volatile private var running = false
+      private var rates = List.empty[Double] // guarded by this.synchronized
+      private var worker: Thread = _
+      def start(): Unit = {
+        synchronized { rates = Nil }
+        running = true
+        worker = new Thread(() => {
+          var winBytes = 0L
+          var winT0 = System.nanoTime()
+          while (running) {
+            System.arraycopy(src, 0, dst, 0, Len)
+            src(0) = (dst(0) + 1).toByte
+            winBytes += 2L * Len
+            val now = System.nanoTime()
+            if (now - winT0 >= 1000000000L) {
+              val r = winBytes / ((now - winT0) / 1e9)
+              synchronized { rates ::= r }
+              winBytes = 0L
+              winT0 = now
+            }
+          }
+          // Final partial window: keep only if it holds ≥0.2 s of signal
+          // (a few-ms tail rate is dominated by the stop latency itself).
+          val now = System.nanoTime()
+          if (now - winT0 >= 200000000L)
+            synchronized { rates ::= winBytes / ((now - winT0) / 1e9) }
+        }, "bench-membw-heartbeat")
+        worker.setDaemon(true)
+        worker.start()
+      }
+      def stop(): Seq[Double] = {
+        running = false
+        if (worker != null) worker.join(2000)
+        synchronized { rates.reverse }
+      }
+    }
     def time(q: Q): Sample = {
-      val bw = if (membwQueries(q.name)) probeMembw() else -1.0
+      val flagged = membwQueries(q.name)
+      val bw = if (flagged) probeMembw() else -1.0
       val ev0 = settleDropped()
       // `at` is read AFTER the settle wait (round-10 ADVICE): settleDropped
       // can sleep up to 1 s, and the offset exists to position the TIMED
       // region in the run — capturing it before the wait skewed the very
       // contention-window forensics the field is for.
       val at = (System.nanoTime() - benchT0) / 1e9
+      if (flagged) Heartbeat.start()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val hb = if (flagged) Heartbeat.stop() else Nil
       val ev = dropped.get() - ev0 // read BEFORE the cleanup sweep
+      // The closing probe runs BEFORE the cleanup sweep so the bracket
+      // hugs the timed region (the sweep + GC can take seconds; a window
+      // change inside them is not this sample's evidence).
+      val bwAfter = if (flagged) probeMembw() else -1.0
       clearState()
-      Sample(if (ok) dt else -1.0, at, ev, bw)
+      Sample(if (ok) dt else -1.0, at, ev, bw, bwAfter, hb)
     }
     // Repeat-run mode, ADAPTIVE (round-7 verdict #1): a static allowlist
     // keyed to last round's swings always misses the next one, so ANY
@@ -282,12 +347,23 @@ object Bench {
     // started and how many storage blocks dropped inside its timed region.
     val meta = samples.map { case (k, v) =>
       "\"" + k + "\":" + v.map { s =>
-        // `bw` only for membw-flagged samples (-1 = not measured or probe
-        // failure — omitted rather than emitted, so its absence is the
-        // not-measured signal and a reader never mistakes -1 for a rate).
+        // `bw`/`bw_after`/`hb` only for membw-flagged samples (-1 = not
+        // measured or probe failure — omitted rather than emitted, so
+        // absence is the not-measured signal and a reader never mistakes
+        // -1 for a rate). `bw`+`bw_after` are the per-sample BRACKET in
+        // the probe's calibrated units; `hb` is the in-sample heartbeat
+        // series (single-thread copy B/s once per second — relative
+        // signal, see Heartbeat).
         val bwField =
           if (s.bw >= 0.0) s""","bw":${fix(s.bw, 0)}""" else ""
-        s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}$bwField}"""
+        val bwAfterField =
+          if (s.bwAfter >= 0.0) s""","bw_after":${fix(s.bwAfter, 0)}""" else ""
+        val hbField = if (s.hb.nonEmpty) {
+          s""","hb":${s.hb.map(r => String.format(java.util.Locale.ROOT,
+            "%.3g", Double.box(r))).mkString("[", ",", "]")}"""
+        } else ""
+        s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}""" +
+          s"""$bwField$bwAfterField$hbField}"""
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Run series (round-9 verdict #3): best-of-N sidecar selection

@@ -188,7 +188,7 @@ object StreamQueries {
         WITH k AS (
           SELECT event_id,
                  md5(${graft.queries.LlmQueries.normKeyDuckOn(
-                   "concat_ws(' ', event_type, user_id, props)")}) AS h
+                   s"concat_ws(' ', ${StreamOps.EventKeyFields.mkString(", ")})")}) AS h
           FROM events),
         old AS (
           SELECT h, CAST(count(*) AS BIGINT) AS n_old_raw

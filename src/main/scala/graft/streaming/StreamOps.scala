@@ -149,10 +149,7 @@ object StreamOps {
     */
   def incrementalDedup(events: DataFrame, index: DataFrame): DataFrame =
     events.where(col("event_id") % 10 === 0)
-      .select(col("event_id"),
-        md5(graft.queries.LlmQueries.normKey(
-          concat_ws(" ", col("event_type"), col("user_id"), col("props"))))
-          .as("h"))
+      .select(col("event_id"), eventKey.as("h"))
       .join(index, Seq("h"), "left")
       .select(col("event_id"), col("h"),
         coalesce(col("n_old_raw"), lit(0L)).as("n_old"))
@@ -168,10 +165,23 @@ object StreamOps {
     */
   def incrementalIndex(history: DataFrame): DataFrame =
     history.where(col("event_id") % 10 =!= 0)
-      .select(md5(graft.queries.LlmQueries.normKey(
-        concat_ws(" ", col("event_type"), col("user_id"), col("props"))))
-        .as("h"))
+      .select(eventKey.as("h"))
       .groupBy(col("h")).agg(count(lit(1)).cast("bigint").as("n_old_raw"))
+
+  /** The per-event payload key shared by [[incrementalDedup]] (stream
+    * side), [[incrementalIndex]] (persisted side), and — via
+    * [[EventKeyFields]] — the S13 DuckDB oracle (round-13 ADVICE: three
+    * hand-kept spellings of the same concat_ws list would silently
+    * diverge; a drifted field list makes every event report n_old=0 with
+    * no failure anywhere). Single-sourced here so stream, index, and
+    * oracle cannot key differently.
+    */
+  private[graft] val EventKeyFields: Seq[String] =
+    Seq("event_type", "user_id", "props")
+
+  private def eventKey: org.apache.spark.sql.Column =
+    md5(graft.queries.LlmQueries.normKey(
+      concat_ws(" ", EventKeyFields.map(col): _*)))
 
   // ---------------------------------------------------------------- S8 ----
 

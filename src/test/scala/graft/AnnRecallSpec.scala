@@ -26,7 +26,7 @@ class AnnRecallSpec extends GraftSpec {
   // candidate generation this suite guards.
   for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01);
        (qname, probeMax) <- Seq(("llm_ann_ivf", 50), ("llm_knn_bucketed", 100),
-         ("llm_ann_hier", 50))) {
+         ("llm_ann_hier", 50), ("llm_knn_hier", 100))) {
     test(s"$qname recall@3 vs exact k-NN at $sf") {
       val ann = SparkEntry.queries(qname)(spark, sf)
         .select(col("q_id"), col("n_id")).collect()

@@ -132,6 +132,56 @@ class CurationFuzzSpec extends GraftSpec {
     }
   }
 
+  test("stream_incr_dedup fuzz: dup keys across the split, NULL/empty props") {
+    // Round-13 verdict #4: the streaming corpus-ingest dedup row shipped
+    // without its fuzz row. This corpus forces the paths the driver's
+    // events table never does: the SAME payload key on both sides of the
+    // history/new split (dup_of_old with n_old > 1), NULL vs '' vs
+    // whitespace-only props all collapsing to one key (concat_ws skips
+    // NULL, normKey filters empty fragments — both engines must agree on
+    // the collapsed spelling), unicode props under md5, and a fresh key
+    // taking the coalesce(n_old, 0) → keep branch.
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    def t(i: Int) = new java.sql.Timestamp(t0.getTime + i * 60000L)
+    val rows = Seq(
+      // history side (event_id % 10 != 0)
+      (1L, t(1), 7L, "click", 1.0, """{"p":"dup"}"""),
+      (2L, t(2), 7L, "click", 2.0, """{"p":"dup"}"""), // key seen twice in history
+      (3L, t(3), 8L, "view", 0.5, null.asInstanceOf[String]), // NULL props
+      (4L, t(4), 8L, "view", 0.6, ""),                 // '' props — same key as NULL
+      (5L, t(5), 9L, "buy", 3.0, "é ζ würde"),         // unicode payload
+      (6L, t(6), 9L, "buy", 3.5, "   "),               // whitespace-only props
+      // new batch (event_id % 10 == 0)
+      (10L, t(10), 7L, "click", 1.5, """{"p":"dup"}"""), // dup_of_old, n_old=2
+      (20L, t(11), 8L, "view", 0.7, null.asInstanceOf[String]), // collides w/ 3,4
+      (30L, t(12), 9L, "buy", 9.0, "é ζ würde"),       // unicode dup
+      (40L, t(13), 11L, "scroll", 0.1, "fresh key"),   // unseen → keep
+      (50L, t(14), 9L, "buy", 0.0, ""))                // '' key = whitespace key
+    val dir = Files.createTempDirectory("graft_fuzz_events").toString
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Class.forName("org.duckdb.DuckDBDriver")
+    val con = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = con.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(s"CREATE VIEW events AS SELECT * FROM " +
+        s"read_parquet('$dir/events.parquet/*.parquet')")
+      st.close()
+      val q = SparkEntry.all.find(_.name == "stream_incr_dedup").get
+      val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+      val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
+      assert(sCols == dCols, "column sets differ")
+      assert(sRows.size == 5 && dRows.size == 5,
+        s"expected the 5 new-batch rows: spark=${sRows.size} duckdb=${dRows.size}")
+      sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+        assert(s == d, s"stream_incr_dedup fuzz row $i differs:\n" +
+          s"  spark : $s\n  duckdb: $d")
+      }
+    } finally con.close()
+  }
+
   test("llm_seq_pack: NULL-text docs count 0 tokens in both engines") {
     // Round-12 review: under the pinned non-ANSI config Spark's size(NULL)
     // is -1, which would silently shift every later doc's tok_offset while

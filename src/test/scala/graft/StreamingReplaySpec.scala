@@ -147,6 +147,18 @@ class StreamingReplaySpec extends GraftSpec {
       StreamOps.funnel(batchEvents), "user_id")
   }
 
+  test("S13 incremental dedup over a 4-batch replay equals batch") {
+    // The one declared streaming transform whose static side SHUFFLES (the
+    // corpus-scale (h, n_old) ingest index — round-13 verdict #4: it
+    // shipped without this row). The index is re-planned per micro-batch,
+    // so the replay proves membership answers are identical no matter
+    // which real batch boundary an event lands behind.
+    val idx = StreamOps.incrementalIndex(batchEvents)
+    assertSame(
+      runReplay("s13", "append", ev => StreamOps.incrementalDedup(ev, idx)),
+      StreamOps.incrementalDedup(batchEvents, idx), "event_id")
+  }
+
   test("S12 static anti-join suppresses identically across the replay") {
     val customer = Tables.customer(spark, TestEnv.Sf001)
     assertSame(

@@ -48,6 +48,50 @@ def membw_ok(s):
     return not bws or max(bws) >= HEALTHY_MEMBW
 
 
+def query_admissibility(s):
+    """Per-QUERY admissibility from per-sample membw brackets (round-13
+    verdict #1c). Each flagged sample carries its own bw/bw_after bracket
+    (graft.Bench, round 14); a sample is admissible under the same
+    bracket-max rule as the run gate, and a query's reading (the median of
+    its samples) is admissible iff MORE THAN HALF of its bracketed samples
+    are — with >n/2 clean samples the median is bounded by a clean reading.
+    Queries without per-sample readings (the non-flagged set) are not
+    assessed and do not appear. Returns {query: {"samples": [bool, ...],
+    "admissible": bool}}."""
+    out = {}
+    for q, samples in s.get("sample_meta", {}).items():
+        flags = []
+        for smp in samples:
+            bws = [b for b in (smp.get("bw"), smp.get("bw_after"))
+                   if b is not None]
+            if bws:
+                flags.append(max(bws) >= HEALTHY_MEMBW)
+        if flags:
+            out[q] = {"samples": flags,
+                      "admissible": sum(flags) * 2 > len(flags)}
+    return out
+
+
+def hb_forensics(s):
+    """One line per flagged sample: wall seconds, heartbeat min/median
+    (the in-sample collapse signal — round-13 verdict #1b), and the
+    per-sample bracket. An inflated sample now adjudicates itself: hb_min
+    cratering vs sibling samples convicts a mid-sample host window; a flat
+    hb series falsifies the membw explanation."""
+    lines = []
+    for q, samples in s.get("sample_meta", {}).items():
+        for j, smp in enumerate(samples):
+            hb = smp.get("hb") or []
+            if not hb:
+                continue
+            med = sorted(hb)[len(hb) // 2]
+            lines.append(
+                f"  {q}[{j}]: sec={smp['sec']} hb_min={min(hb):.3g} "
+                f"hb_med={med:.3g} n={len(hb)} "
+                f"bracket=({smp.get('bw')},{smp.get('bw_after')})")
+    return lines
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     repo = os.environ.get("SPARK_GRAFT_REPO_DIR") or os.getcwd()
@@ -92,9 +136,14 @@ def main():
         bw_tag = ("" if membw_ok(s)
                   else " MEMBW-DEGRADED(bracket max "
                        f"{max(bracket_membws(s)):.3g} < {HEALTHY_MEMBW:.3g})")
+        qa = query_admissibility(s)
+        bad_q = sorted(q for q, v in qa.items() if not v["admissible"])
+        qa_tag = (f" QUERY-DEGRADED[{','.join(bad_q)}]" if bad_q else "")
         print(f"run {i + 1}/{n}: total={s['total']:.1f}s "
               f"probe_before={s['probe_before']} "
-              f"probe_after={s['probe_after']}{bw_tag}")
+              f"probe_after={s['probe_after']}{bw_tag}{qa_tag}")
+        for line in hb_forensics(s):
+            print(line)
 
     def healthy(p):
         return bool(p) and p.get("agg", 0) >= HEALTHY_AGG
@@ -111,6 +160,10 @@ def main():
     # The chosen run's sidecar, but with the FULL accumulated series (each
     # Bench run appended itself, so the last run's series is complete).
     chosen["runs"] = sidecars[-1]["runs"]
+    # Per-query verdicts travel WITH the artifact (round-13 verdict #1c):
+    # a judge reading only BENCH_FULL.json sees which flagged queries'
+    # medians are bracket-clean without re-deriving the rule.
+    chosen["query_admissibility"] = query_admissibility(chosen)
     with open(side, "w") as f:
         json.dump(chosen, f, separators=(",", ":"))
     print(f"installed median {'admissible ' if adm else ''}run: "
