@@ -296,10 +296,22 @@ object LlmQueries {
     // docs — collect_set-style ownership would be unbounded state; pinned
     // in PlanAuditSpec under auto-broadcast-off). Three linear hash
     // shuffles total: groupBy(h), join-back on h, groupBy(doc_id).
+    // Round-14 A/B (r12 verdict #2, measured): persist the 16-byte
+    // (doc_id, h) intermediate vs recompute the segment pipeline under
+    // both consumers. Interleaved same-boot pairs, blocking sweeps, probe
+    // brackets healthy (CPU 3.62e8; membw bracket max 1.85-1.86e10):
+    // sf0.1 recompute 3.58/1.33/1.01 s vs persist 1.76/0.82/0.78 s; 10×
+    // staging recompute 5.55/3.53/3.48 s vs persist 2.84/2.03/2.01 s —
+    // persist wins every pair, 1.7× warmed at 10×. ADOPTED. Scale
+    // rationale: unlike the contamination pre-cap stream (unbounded by
+    // the answer, kept recompute), the segment table is LINEAR in input
+    // (≤ ntoks/8 + 1 rows/doc, 16-byte digests — ~40% of corpus bytes)
+    // and recompute re-reads + re-tokenizes + re-md5s the FULL text
+    // corpus; MEMORY_AND_DISK spills instead of evicting under pressure.
     Q(
       "llm_dedup_paragraph",
       (s, d) => {
-        def seg = Tables.documents(s, d)
+        val seg = Tables.documents(s, d)
           .select(col("doc_id"),
             filter(split(col("text"), " "), t => t =!= "").as("toks"))
           .where(size(col("toks")) > 0)
@@ -312,6 +324,7 @@ object LlmQueries {
               "i -> md5(array_join(slice(toks, i * 8 + 1, 8), ' ')))")))
             .as("h"))
           .where(col("h").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val own = seg.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
         seg.join(own, Seq("h"))
           .groupBy(col("doc_id"))
