@@ -80,7 +80,34 @@ object ScaleProbe {
     // plan-pinned to zero corpus shuffles, so the probe should read ≈
     // linear; a super-linear flag here means the plan pin and reality
     // diverged.
-    "llm_sample_stratified", "llm_repetition")
+    "llm_sample_stratified", "llm_repetition",
+    // round 14 (r13 verdict #5): the three r13 rows under the standard
+    // probe bracket. knn_hier should track ann_hier's sub-linear
+    // assignment curve; incr_dedup is one reduced-index groupBy + one
+    // digest shuffle join per micro-batch; image_decode_var is map-only
+    // (per-doc BMP construct + decode), so ≈ linear.
+    "llm_knn_hier", "stream_incr_dedup", "llm_image_decode_var",
+    // round 14: per-source quota sampling — one WindowGroupLimit-pruned
+    // shuffle; the wall ratio checks that the cap prunes BEFORE the
+    // exchange. (llm_neardup_cosine_lsh is excluded for the same reason
+    // as the other similarity rows: staged copies repeat vectors
+    // verbatim, so its true pair output grows quadratically in the
+    // staging factor — an artifact of the staging, not the operator.)
+    "llm_domain_quota")
+
+  /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
+    * probe to a comma-separated subset — new rows get their 10× entry
+    * without re-paying the full hour-scale sweep. Unknown names fail
+    * loud, same rationale as Bench.
+    */
+  private def toRun: Seq[String] = {
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = only.diff(Probes.toSet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names not in ScaleProbe.Probes: ${unknown.mkString(", ")}")
+    if (only.isEmpty) Probes else Probes.filter(only)
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(baseDir, bigDir, factorStr) = args.take(3)
@@ -110,8 +137,9 @@ object ScaleProbe {
     run("agg_pricing_q1", baseDir); run("agg_pricing_q1", bigDir)
 
     var logs = List.empty[Double]
+    val probes = toRun
     println(f"${"query"}%-22s ${"base_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  (factor $factor%.0f×)")
-    Probes.foreach { q =>
+    probes.foreach { q =>
       val small = run(q, baseDir)
       val big = run(q, bigDir)
       val ratio = big / small
@@ -120,7 +148,7 @@ object ScaleProbe {
       println(f"$q%-22s $small%8.2f $big%8.2f $ratio%7.2f$flag")
     }
     val geo = math.exp(logs.sum / logs.size)
-    println(f"geomean ratio = $geo%.2f over ${Probes.size} queries at $factor%.0f× data")
+    println(f"geomean ratio = $geo%.2f over ${probes.size} queries at $factor%.0f× data")
     spark.stop()
   }
 }

@@ -1127,6 +1127,47 @@ object TextQueries {
               < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
         ORDER BY doc_id""")),
 
+    // H: per-source quota sampling (round 14) — the CAP-based half of
+    // data mixing whose RATE-based half is llm_sample_stratified and
+    // whose planning half is llm_mix_weights: keep at most K = 10 docs
+    // per `source` (the RefinedWeb/Gopher "no domain dominates" curation
+    // rule). Selection priority is the salted md5 of doc_id — a
+    // deterministic uniform permutation both engines order identically as
+    // plain ASCII hex strings (no numeric conversion needed), so retries
+    // and reruns keep the same rows and the oracle agrees bit-for-bit;
+    // doc_id tiebreak makes the order total.
+    //
+    // Scale shape: row_number ≤ K over (source, priority) plans as
+    // WindowGroupLimit (pinned) — each input partition keeps only its
+    // top-K per source BEFORE the exchange, so the shuffle carries ≤
+    // K·sources rows per map partition and the final per-source sort is
+    // K-bounded. That holds even in the adversarial few-huge-sources
+    // layout where a plain window sort would serialize the corpus into a
+    // handful of partitions.
+    Q(
+      "llm_domain_quota",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("pr"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(concat(lit("graft-quota-v1:"), col("doc_id").cast("string")))
+              .as("pr"))
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .where(col("rk") <= 10)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5('graft-quota-v1:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS rk
+          FROM documents)
+        WHERE rk <= 10
+        ORDER BY doc_id""")),
+
     // H: mixture-rebalancing calculator — the PLANNING half of data mixing
     // whose APPLY half is llm_sample_stratified: given a literal target
     // mixture over `source` (the Dolma/Pile "domain weights" input),

@@ -291,6 +291,28 @@ object VectorQueries {
         WHERE nn_rank <= $k
         ORDER BY q_id, nn_rank"""
 
+  /** Deterministic signed-random-projection hyperplanes for the cosine
+    * LSH row (round 14): 16 planes × 64 dims, every coefficient derived
+    * from md5("graft-srp-v1:j:k") exactly as the DuckDB oracle re-derives
+    * it (first 8 hex chars → BIGINT → % 1000001 → centered → / 500000.0 —
+    * the llm_sample_stratified salted-md5 idiom), so both engines hold
+    * bit-identical plane vectors and the sign bits agree exactly. Fixed
+    * plane COUNT (not N-derived): SRP-LSH's knobs are bits-per-band and
+    * band count, chosen from the target cosine and bucket occupancy, not
+    * from corpus size — so no count() pass is needed to build this index.
+    */
+  private lazy val srpPlanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(16) { j =>
+      Array.tabulate(64) { k =>
+        md.reset()
+        val hex = md.digest(s"graft-srp-v1:$j:$k".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        ((java.lang.Long.parseLong(hex, 16) % 1000001L) - 500000L) / 500000.0
+      }
+    }
+  }
+
   val defs: Seq[Q] = Seq(
     // H: embedding-cosine near-dup pairs over a bounded probe range —
     // cosine = dot / (|a|·|b|), τ chosen above the corpus p99 (~0.29) so
@@ -323,6 +345,95 @@ object VectorQueries {
         WHERE list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        ORDER BY a_id, b_id""")),
+
+    // H (scale form): SRP-LSH bucketed cosine near-dup — the embedding-
+    // space twin of llm_neardup_minhash's banding, and the scale path the
+    // all-pairs llm_neardup_cosine baseline (above) cannot be: 16
+    // deterministic signed-random-projection bits per vector (see
+    // srpPlanes), banded 4×4; a pair is a CANDIDATE iff some 4-bit band
+    // matches, and the output is the candidates verified exact
+    // (cos ≥ 0.3). Deterministic end to end, so the full
+    // sign→band→bucket-join→verify pipeline replays in DuckDB and the row
+    // is driver-hash-verified like an exact query (recall vs the true
+    // tail is the quantity the oracle CANNOT express — floor-pinned in
+    // AnnRecallSpec's SrpRecall sibling: measured ≈0.44/0.46, the
+    // 1−(1−(1−θ/π)^4)^4 theory line for τ=0.3 on this structureless
+    // random corpus).
+    //
+    // Scale shape: the signature stage is map-only (planes are plan
+    // literals — zero joins, zero count() passes); pair generation is the
+    // LSH family's linear groupBy-shape join on the (band_idx, band_val)
+    // bucket key; verification re-attaches vectors by SHUFFLE join on
+    // vec_id — corpus-bound, pinned never-broadcast under
+    // auto-broadcast-off. Bits-per-band is the occupancy knob: at 10¹⁰
+    // vectors a production run sizes bands ≈ log2(N/target_bucket) bits
+    // (the banding arithmetic is unchanged); 4-bit bands here keep the
+    // driver-gate output non-empty on the ANN-hostile random corpus whose
+    // cos tail tops out at ~0.51.
+    Q(
+      "llm_neardup_cosine_lsh",
+      (s, d) => {
+        val e = vecs(s, d)
+        val bits: Seq[org.apache.spark.sql.Column] = (0 until 16).map { j =>
+          when(VectorOps.dot(col("v"), lit(srpPlanes(j))) >= 0.0, 1L)
+            .otherwise(0L)
+        }
+        val bands = (0 until 4).map { b =>
+          (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
+            bits(4 * b + 3) * 8).as(s"band$b")
+        }
+        val sig = e.select(col("vec_id") +: bands: _*)
+          .select(col("vec_id"), expr(
+            "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)" +
+              " as (band_idx, band_val)"))
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+          .distinct()
+        val ea = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+        val eb = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+        cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (VectorOps.dot(col("a_v"), col("b_v")) /
+              (sqrt(VectorOps.dot(col("a_v"), col("a_v"))) *
+                sqrt(VectorOps.dot(col("b_v"), col("b_v"))))).as("cos"))
+          .where(col("cos") >= 0.3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        h AS (
+          SELECT j, list_transform(range(0, 64), k ->
+            ((('0x' || substr(md5('graft-srp-v1:' || j || ':' || k), 1, 8))::BIGINT
+              % 1000001) - 500000) / 500000.0) AS hv
+          FROM range(0, 16) t(j)),
+        bits AS (
+          SELECT e.vec_id, h.j,
+                 CASE WHEN list_dot_product(e.v, h.hv) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM e CROSS JOIN h),
+        sig AS (
+          SELECT vec_id, j // 4 AS band_idx,
+                 CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS band_val
+          FROM bits GROUP BY vec_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM sig a JOIN sig b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id)
+        SELECT c.a_id, c.b_id,
+               list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+        FROM cand c
+        JOIN e ea ON c.a_id = ea.vec_id
+        JOIN e eb ON c.b_id = eb.vec_id
+        WHERE list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
         ORDER BY a_id, b_id""")),
 
     // H (scale form): IVF approximate NN, deterministic end to end (see

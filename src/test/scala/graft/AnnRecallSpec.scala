@@ -60,4 +60,39 @@ class AnnRecallSpec extends GraftSpec {
       assert(recall >= 0.40, f"recall@3 $recall%.3f below regression floor")
     }
   }
+
+  // SRP-LSH pair recall (round 14): the cosine LSH row's output is its
+  // deterministic candidate set verified exact, so the oracle hash cannot
+  // see a candidate-generation regression that silently shrinks the set —
+  // this floor can. On this structureless random corpus the theory line
+  // for τ=0.3 (θ ≈ 72.5°, 4 bands × 4 bits) is 1−(1−(1−θ/π)^4)^4 ≈ 0.42;
+  // measured 0.44/0.46. Floor at 0.35 guards the generator, not the
+  // corpus. Precision needs no test: the ≥ τ verify filter makes every
+  // emitted pair exact by construction.
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
+    test(s"llm_neardup_cosine_lsh pair recall vs the exact cos tail at $sf") {
+      val got = SparkEntry.queries("llm_neardup_cosine_lsh")(spark, sf)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      val truth = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (VectorOps.dot(col("a_v"), col("b_v")) /
+            (sqrt(VectorOps.dot(col("a_v"), col("a_v"))) *
+              sqrt(VectorOps.dot(col("b_v"), col("b_v"))))).as("cos"))
+        .where(col("cos") >= 0.3)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(got.subsetOf(truth),
+        s"LSH emitted ${got.diff(truth).size} pairs below the exact threshold")
+      val recall = (got & truth).size.toDouble / truth.size
+      info(f"pair recall = $recall%.3f (${(got & truth).size}/${truth.size}) at $sf")
+      assert(recall >= 0.35, f"pair recall $recall%.3f below regression floor")
+    }
+  }
 }

@@ -97,7 +97,12 @@ class CurationFuzzSpec extends GraftSpec {
     // Mixture calculator: the fuzz corpus's src0..3 counts are uneven
     // (67 docs round-robin'd over 4 sources), so the binding-source min
     // and the rate=1 row are both exercised.
-    "llm_mix_weights")
+    "llm_mix_weights",
+    // Per-source quota: ~17 docs per fuzz source, so the K=10 cap
+    // genuinely bites on every source (unlike sf0.001's sparser strata),
+    // and the md5-hex string ordering must agree across engines for
+    // the kept set to hash identically.
+    "llm_domain_quota")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val rnd = new Random(0xF022)

@@ -382,6 +382,36 @@ class PlanAuditSpec extends GraftSpec {
       s"row_number ≤ K must push down as WindowGroupLimit:\n${p.take(3000)}")
   }
 
+  test("llm_domain_quota caps push down as WindowGroupLimit heaps") {
+    // The scale contract (TextQueries comment): rk ≤ K must plan as
+    // WindowGroupLimit so each input partition keeps only its top-K per
+    // source BEFORE the exchange — without it, a few-huge-sources corpus
+    // serializes into a handful of window partitions. Nothing in the row
+    // may broadcast (it is a single-input window query).
+    val p = planNoAutoBroadcast("llm_domain_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= K must push down as WindowGroupLimit:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastExchange"),
+      s"single-input window query must not broadcast:\n${p.take(3000)}")
+  }
+
+  test("llm_neardup_cosine_lsh buckets by band; verify never broadcasts the corpus") {
+    // The scale contract (VectorQueries comment): signatures are map-only
+    // (planes are plan literals — no joins, no count() pass), pair
+    // generation joins on the (band_idx, band_val) bucket key, and the
+    // verify stage re-attaches corpus vectors by SHUFFLE join — both join
+    // inputs are corpus-bound, so under auto-broadcast-off the plan must
+    // carry ZERO BroadcastExchanges end to end.
+    val p = planNoAutoBroadcast("llm_neardup_cosine_lsh")
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus-bound sides must never broadcast:\n${p.take(3000)}")
+    assert("SortMergeJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined,
+      s"pair generation must join on the band bucket key:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs fallback anywhere in the LSH plan:\n${p.take(3000)}")
+  }
+
   test("llm_dedup_paragraph shuffles linearly; ownership never broadcasts") {
     // The scale contract (LlmQueries comment): within-doc dedup is
     // map-side (array_distinct before the explode — exactly ONE Generate,
