@@ -93,7 +93,20 @@ object ScaleProbe {
     // as the other similarity rows: staged copies repeat vectors
     // verbatim, so its true pair output grows quadratically in the
     // staging factor — an artifact of the staging, not the operator.)
-    "llm_domain_quota")
+    "llm_domain_quota",
+    // round 14: the full-corpus kNN graph — output is N·k rows by
+    // construction (linear, unlike the pair-list rows), so its wall
+    // ratio IS informative; the candidate phase totals Σ|cell|² ≈ N^1.5
+    // at the fixture's √N-cell sizing, so expect a ratio between F and
+    // F^1.5 — cell count is the production occupancy knob.
+    "llm_knn_graph",
+    // round 14: semantic dedup — one keep_id row per vector (the cluster
+    // row's linear output contract), so like llm_dedup_cluster its wall
+    // ratio is informative even though the staged clones densify the
+    // pair graph. (llm_neardup_containment is excluded like the other
+    // bounded all-pairs text rows: its <300-id probe set is constant
+    // across scales, ratio ≈ 1 by construction.)
+    "llm_dedup_semantic")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -88,6 +88,81 @@ object LlmQueries {
       case _ => ()
     }
 
+  /** Connected components over an edge list by iterative min-label
+    * propagation with pointer jumping — extracted VERBATIM from
+    * llm_dedup_cluster (round 14) so the semantic-dedup row runs the
+    * identical loop: eager localCheckpoint lineage truncation each round,
+    * labels bounded to ACTIVE ids (≥1 edge) so every in-loop broadcast is
+    * answer-bound at any corpus size, pointer jumping so MaxIters rounds
+    * cover diameter 2^MaxIters, fail-loud convergence backstop. Input:
+    * one row per UNDIRECTED edge (src, dst) — symmetrized internally.
+    * Returns (rep_id, comp) for ACTIVE ids only; callers re-admit
+    * edge-free ids via coalesce at the final assignment, which keeps the
+    * result broadcast legitimately small.
+    */
+  private[queries] def minLabelComponents(pairs: DataFrame): DataFrame = {
+        val edges = pairs.select(col("src"), col("dst"))
+          .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+          .persist()
+        val MaxIters = 30
+        // Labels only over ACTIVE reps — those with at least one verified
+        // edge (round-7 ADVICE: a label row per rep approaches corpus size
+        // on a mostly-unique corpus, which made every broadcast(labels)
+        // below an unbounded driver/executor ceiling). Edge-free reps never
+        // change label, so they are excluded from the iteration entirely
+        // and re-enter at the final assignment via coalesce(comp, rep_id).
+        // |labels| is then bounded by the near-dup answer, and the in-loop
+        // and pointer-jump broadcasts become legitimately small at any
+        // corpus size.
+        var labels = edges.select(col("src").as("rep_id")).distinct()
+          .select(col("rep_id"), col("rep_id").as("comp"))
+          .localCheckpoint(true)
+        var iter = 0
+        var converged = false
+        while (!converged && iter < MaxIters) {
+          // broadcast(labels): checkpointed DFs carry the default (huge)
+          // size estimate, so unhinted this plans as an SMJ that re-sorts
+          // the full edge set EVERY round. One label row per ACTIVE rep —
+          // answer-bound (see the labels seed above), so the hint is safe
+          // at any corpus size.
+          val nbrMin = edges
+            .join(broadcast(labels), col("dst") === col("rep_id"))
+            .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+          val half = labels
+            .join(nbrMin, col("rep_id") === col("src"), "left")
+            .select(col("rep_id"),
+              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+            .localCheckpoint(true) // truncate lineage; also materializes
+          // Pointer jump: comp ← comp(comp). Doubles the propagated
+          // distance per round, so MaxIters rounds cover components of
+          // diameter 2^MaxIters instead of MaxIters — the backstop can
+          // then only fire on a broken graph, never a deep one. Both sides
+          // are the checkpointed label table (tiny), no edge re-scan.
+          val next = half.as("l")
+            .join(broadcast(half.as("m")), col("l.comp") === col("m.rep_id"))
+            .select(col("l.rep_id").as("rep_id"), col("m.comp").as("comp"))
+            .localCheckpoint(true)
+          // `half` is dead the moment `next` materializes (eager checkpoint
+          // above) — free its blocks now, not at session end.
+          freeCheckpoint(half)
+          // Converged ⇔ next == labels: stability under BOTH steps forces
+          // comp constant per component (symmetric edges) and root-valued,
+          // i.e. comp == component min.
+          val changed = next.as("n")
+            .join(labels.as("o"), "rep_id")
+            .where(col("n.comp") =!= col("o.comp"))
+            .count()
+          // The previous round's labels are dead once `changed` is counted.
+          freeCheckpoint(labels)
+          labels = next
+          converged = changed == 0L
+          iter += 1
+        }
+        require(converged, s"label propagation did not converge in $MaxIters rounds")
+        edges.unpersist()
+        labels
+  }
+
   /** Upper bound on rows per identical-token-set group: `collect_list`
     * member arrays are chunked by a doc-id hash so no single row ever holds
     * a whole giant duplicate group (round-6 verdict "next round" #4 — a
@@ -585,65 +660,12 @@ object LlmQueries {
         // tree every iteration even though execution hits cache (measured
         // here: per-round wall grew 1.5 s → 11 s by round 5; truncated it
         // stays flat). Same reason GraphFrames checkpoints its CC loop.
-        val edges = verified.select(col("a_rep").as("src"), col("b_rep").as("dst"))
-          .unionAll(verified.select(col("b_rep").as("src"), col("a_rep").as("dst")))
-          .persist()
-        val MaxIters = 30
-        // Labels only over ACTIVE reps — those with at least one verified
-        // edge (round-7 ADVICE: a label row per rep approaches corpus size
-        // on a mostly-unique corpus, which made every broadcast(labels)
-        // below an unbounded driver/executor ceiling). Edge-free reps never
-        // change label, so they are excluded from the iteration entirely
-        // and re-enter at the final assignment via coalesce(comp, rep_id).
-        // |labels| is then bounded by the near-dup answer, and the in-loop
-        // and pointer-jump broadcasts become legitimately small at any
-        // corpus size.
-        var labels = edges.select(col("src").as("rep_id")).distinct()
-          .select(col("rep_id"), col("rep_id").as("comp"))
-          .localCheckpoint(true)
-        var iter = 0
-        var converged = false
-        while (!converged && iter < MaxIters) {
-          // broadcast(labels): checkpointed DFs carry the default (huge)
-          // size estimate, so unhinted this plans as an SMJ that re-sorts
-          // the full edge set EVERY round. One label row per ACTIVE rep —
-          // answer-bound (see the labels seed above), so the hint is safe
-          // at any corpus size.
-          val nbrMin = edges
-            .join(broadcast(labels), col("dst") === col("rep_id"))
-            .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-          val half = labels
-            .join(nbrMin, col("rep_id") === col("src"), "left")
-            .select(col("rep_id"),
-              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-            .localCheckpoint(true) // truncate lineage; also materializes
-          // Pointer jump: comp ← comp(comp). Doubles the propagated
-          // distance per round, so MaxIters rounds cover components of
-          // diameter 2^MaxIters instead of MaxIters — the backstop can
-          // then only fire on a broken graph, never a deep one. Both sides
-          // are the checkpointed label table (tiny), no edge re-scan.
-          val next = half.as("l")
-            .join(broadcast(half.as("m")), col("l.comp") === col("m.rep_id"))
-            .select(col("l.rep_id").as("rep_id"), col("m.comp").as("comp"))
-            .localCheckpoint(true)
-          // `half` is dead the moment `next` materializes (eager checkpoint
-          // above) — free its blocks now, not at session end.
-          freeCheckpoint(half)
-          // Converged ⇔ next == labels: stability under BOTH steps forces
-          // comp constant per component (symmetric edges) and root-valued,
-          // i.e. comp == component min.
-          val changed = next.as("n")
-            .join(labels.as("o"), "rep_id")
-            .where(col("n.comp") =!= col("o.comp"))
-            .count()
-          // The previous round's labels are dead once `changed` is counted.
-          freeCheckpoint(labels)
-          labels = next
-          converged = changed == 0L
-          iter += 1
-        }
-        require(converged, s"label propagation did not converge in $MaxIters rounds")
-        edges.unpersist()
+        // Components via the shared min-label-propagation loop (extracted
+        // round 14 so llm_dedup_semantic runs the IDENTICAL machinery —
+        // checkpoint hygiene, answer-bound broadcasts, pointer jumping,
+        // fail-loud convergence; see minLabelComponents).
+        val labels = minLabelComponents(
+          verified.select(col("a_rep").as("src"), col("b_rep").as("dst")))
         // Still alive on purpose: the FINAL labels checkpoint (one tiny row
         // per active rep) and lshRepGraph's `chunks` cache — both feed the
         // lazy DataFrame returned below. Callers that run many queries in

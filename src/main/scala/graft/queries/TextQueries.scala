@@ -222,6 +222,55 @@ object TextQueries {
         WHERE jac >= 0.3
         ORDER BY a_id, b_id""")),
 
+    // H: ASYMMETRIC containment near-dup (round 14) — the quote/subset
+    // duplication detector the symmetric rows cannot be: C(a→b) =
+    // |sh(a) ∩ sh(b)| / |sh(a)| over the same 3-gram shingles as
+    // llm_neardup_shingle. When a short doc is quoted inside a much
+    // longer one, Jaccard divides by the UNION (dominated by the long
+    // doc) and stays near 0 while containment reads ≈1 — the LLM-data
+    // case is boilerplate/license blocks and verbatim quotations that
+    // dedup-by-Jaccard ships into training. ORDERED pairs (a≠b, not
+    // a<b): containment is directional, and a symmetric dup legitimately
+    // emits both directions. Same bounded-probe oracle form as the other
+    // all-pairs text rows (ids < 300; the LSH/banding machinery is the
+    // declared scale path for candidate generation — this row defines the
+    // verify-stage semantics).
+    Q(
+      "llm_neardup_containment",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .where(col("doc_id") < 300)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(expr("sequence(1, size(toks) - 2)"),
+              i => array_join(slice(col("toks"), i, lit(3)), " "))).as("sh"))
+        val a = t.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = t.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.join(b, col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+              size(col("a_sh")).cast("double")).as("cont"))
+          .where(col("cont") >= 0.5)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $toksAllDuck AS toks
+                FROM documents WHERE doc_id < 300)
+          WHERE len(toks) >= 3),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) AS cont
+          FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+        SELECT a_id, b_id, cont FROM p
+        WHERE cont >= 0.5
+        ORDER BY a_id, b_id""")),
+
     // H: token counting two ways — whitespace tokens (the cheap LLM-data
     // heuristic) and a BPE-ish regex segmentation (`\w+` runs plus single
     // non-space punctuation, the GPT-2-style pre-tokenizer shape). RE2

@@ -227,7 +227,12 @@ object VectorQueries {
     * ivfOracle with the two-level cell assignment spliced in (same
     * dot-DESC-then-id tiebreaks at every level).
     */
-  private def hierOracle(probeMax: Long, k: Int): String = s"""
+  /** The two-level cell-assignment CTE chain (e → s → c/sup → c2s/v2s →
+    * cell), shared verbatim by the probe-contract oracle (hierOracle) and
+    * the round-14 kNN-graph oracle so the assignment arithmetic cannot
+    * fork between the two replays.
+    */
+  private val hierCellsSql: String = s"""
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         s0 AS (
@@ -268,7 +273,9 @@ object VectorQueries {
           JOIN e ev ON ev.vec_id = v2s.vec_id
           JOIN c2s m ON m.s_id = v2s.s_id
           JOIN c ON c.c_id = m.c_id),
-        cell AS (SELECT vec_id, c_id FROM cell_r WHERE rn = 1),
+        cell AS (SELECT vec_id, c_id FROM cell_r WHERE rn = 1)"""
+
+  private def hierOracle(probeMax: Long, k: Int): String = s"""$hierCellsSql,
         probe AS (
           SELECT e.vec_id AS q_id, c.c_id,
                  row_number() OVER (PARTITION BY e.vec_id
@@ -312,6 +319,82 @@ object VectorQueries {
       }
     }
   }
+
+  /** The SRP-LSH verified cosine pair set — (a_id, b_id, cos) for every
+    * band-colliding pair with cos ≥ 0.3 — shared by llm_neardup_cosine_lsh
+    * (which emits it) and llm_dedup_semantic (which connects it into
+    * components), so the candidate generation cannot fork between the
+    * pair row and the dedup row. Plan shape per the cosine_lsh comment:
+    * map-only signatures, band-key bucket join, shuffle-only vector
+    * re-attachment.
+    */
+  private def srpVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val bits: Seq[org.apache.spark.sql.Column] = (0 until 16).map { j =>
+      when(VectorOps.dot(col("v"), lit(srpPlanes(j))) >= 0.0, 1L)
+        .otherwise(0L)
+    }
+    val bands = (0 until 4).map { b =>
+      (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
+        bits(4 * b + 3) * 8).as(s"band$b")
+    }
+    val sig = e.select(col("vec_id") +: bands: _*)
+      .select(col("vec_id"), expr(
+        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)" +
+          " as (band_idx, band_val)"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val eb = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (VectorOps.dot(col("a_v"), col("b_v")) /
+          (sqrt(VectorOps.dot(col("a_v"), col("a_v"))) *
+            sqrt(VectorOps.dot(col("b_v"), col("b_v"))))).as("cos"))
+      .where(col("cos") >= 0.3)
+  }
+
+  /** The DuckDB CTE chain replaying srpVerifiedPairs (e → planes → bits →
+    * bands → bucket join → exact verify), ending in `vp(a_id, b_id, cos)`
+    * — shared by the cosine_lsh and dedup_semantic oracles.
+    */
+  private val srpPairsSql: String = """
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        h AS (
+          SELECT j, list_transform(range(0, 64), k ->
+            ((('0x' || substr(md5('graft-srp-v1:' || j || ':' || k), 1, 8))::BIGINT
+              % 1000001) - 500000) / 500000.0) AS hv
+          FROM range(0, 16) t(j)),
+        bits AS (
+          SELECT e.vec_id, h.j,
+                 CASE WHEN list_dot_product(e.v, h.hv) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM e CROSS JOIN h),
+        sig AS (
+          SELECT vec_id, j // 4 AS band_idx,
+                 CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS band_val
+          FROM bits GROUP BY vec_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM sig a JOIN sig b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id),
+        vp AS (
+          SELECT c.a_id, c.b_id,
+                 list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+          FROM cand c
+          JOIN e ea ON c.a_id = ea.vec_id
+          JOIN e eb ON c.b_id = eb.vec_id
+          WHERE list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3)"""
 
   val defs: Seq[Q] = Seq(
     // H: embedding-cosine near-dup pairs over a bounded probe range —
@@ -373,67 +456,10 @@ object VectorQueries {
     // cos tail tops out at ~0.51.
     Q(
       "llm_neardup_cosine_lsh",
-      (s, d) => {
-        val e = vecs(s, d)
-        val bits: Seq[org.apache.spark.sql.Column] = (0 until 16).map { j =>
-          when(VectorOps.dot(col("v"), lit(srpPlanes(j))) >= 0.0, 1L)
-            .otherwise(0L)
-        }
-        val bands = (0 until 4).map { b =>
-          (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
-            bits(4 * b + 3) * 8).as(s"band$b")
-        }
-        val sig = e.select(col("vec_id") +: bands: _*)
-          .select(col("vec_id"), expr(
-            "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)" +
-              " as (band_idx, band_val)"))
-        val cand = sig.as("a").join(sig.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_val") === col("b.band_val") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-          .distinct()
-        val ea = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-        val eb = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
-        cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            (VectorOps.dot(col("a_v"), col("b_v")) /
-              (sqrt(VectorOps.dot(col("a_v"), col("a_v"))) *
-                sqrt(VectorOps.dot(col("b_v"), col("b_v"))))).as("cos"))
-          .where(col("cos") >= 0.3)
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      oracle = Some("""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        h AS (
-          SELECT j, list_transform(range(0, 64), k ->
-            ((('0x' || substr(md5('graft-srp-v1:' || j || ':' || k), 1, 8))::BIGINT
-              % 1000001) - 500000) / 500000.0) AS hv
-          FROM range(0, 16) t(j)),
-        bits AS (
-          SELECT e.vec_id, h.j,
-                 CASE WHEN list_dot_product(e.v, h.hv) >= 0 THEN 1 ELSE 0 END AS bit
-          FROM e CROSS JOIN h),
-        sig AS (
-          SELECT vec_id, j // 4 AS band_idx,
-                 CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS band_val
-          FROM bits GROUP BY vec_id, j // 4),
-        cand AS (
-          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-          FROM sig a JOIN sig b
-            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-               AND a.vec_id < b.vec_id)
-        SELECT c.a_id, c.b_id,
-               list_dot_product(ea.v, eb.v)
-                 / (sqrt(list_dot_product(ea.v, ea.v))
-                    * sqrt(list_dot_product(eb.v, eb.v))) AS cos
-        FROM cand c
-        JOIN e ea ON c.a_id = ea.vec_id
-        JOIN e eb ON c.b_id = eb.vec_id
-        WHERE list_dot_product(ea.v, eb.v)
-                / (sqrt(list_dot_product(ea.v, ea.v))
-                   * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3
+      (s, d) => srpVerifiedPairs(s, d).orderBy(col("a_id"), col("b_id")),
+      oracle = Some(s"""
+        WITH $srpPairsSql
+        SELECT a_id, b_id, cos FROM vp
         ORDER BY a_id, b_id""")),
 
     // H (scale form): IVF approximate NN, deterministic end to end (see
@@ -500,6 +526,110 @@ object VectorQueries {
         ivfKnn(e, cents, cell, nprobe, probeMax = 100, k = 3)
       },
       oracle = Some(hierOracle(probeMax = 100, k = 3))),
+
+    // H (scale form, round 14): full-corpus kNN GRAPH — the semantic-dedup
+    // primitive none of the probe-contract rows are: EVERY vector's exact
+    // top-3 among the residents of its own hierarchically-assigned cell
+    // (the SNN/kNN-graph build step that embedding-cluster dedup and graph
+    // ANN indexes start from). The probe-contract rows bound their query
+    // side (vec_id < 50/100) and broadcast it; here the query side IS the
+    // corpus, so the plan is shaped differently: candidates come from the
+    // cell table's SELF-join on c_id (the LSH bucket-key shape — one
+    // linear shuffle), and BOTH vector re-attachments shuffle-join on id
+    // (either side broadcast would ship the corpus; pinned under
+    // auto-broadcast-off). Per-q top-3 plans as WindowGroupLimit heaps
+    // (pinned), so no cell's full candidate list survives to the sort.
+    //
+    // Scale note: with the fixture's ≈√N cells the candidate phase totals
+    // Σ_cells |cell|² ≈ N^1.5 scored pairs; cell COUNT is the occupancy
+    // knob — production sizes ncells ∝ N/B for a constant target bucket B
+    // (as with the LSH rows' bits-per-band), making the bucket join
+    // linear at any corpus size with the identical plan shape. Vectors
+    // alone in their cell have no candidates and drop out (deterministic
+    // in both engines).
+    Q(
+      "llm_knn_graph",
+      (s, d) => {
+        val (e, _, cell, _) = hierIndex(s, d)
+        val a = cell.select(col("vec_id").as("q_id"), col("c_id"))
+        val b = cell.select(col("vec_id").as("n_id"), col("c_id"))
+        val cand = a.join(b, Seq("c_id"))
+          .where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"))
+        val qa = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        val rankW = Window.partitionBy(col("q_id"))
+          .orderBy(col("dot").desc, col("n_id"))
+        cand.join(qa, Seq("q_id")).join(nb, Seq("n_id"))
+          .select(col("q_id"), col("n_id"),
+            VectorOps.dot(col("qv"), col("nv")).as("dot"))
+          .withColumn("nn_rank", row_number().over(rankW))
+          .where(col("nn_rank") <= 3)
+          .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
+          .orderBy(col("q_id"), col("nn_rank"))
+      },
+      oracle = Some(s"""$hierCellsSql,
+        cand AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id
+          FROM cell a JOIN cell b ON a.c_id = b.c_id
+          WHERE a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT cd.q_id, cd.n_id, list_dot_product(qa.v, nb.v) AS dot,
+                 row_number() OVER (PARTITION BY cd.q_id
+                   ORDER BY list_dot_product(qa.v, nb.v) DESC, cd.n_id)
+                   AS nn_rank
+          FROM cand cd
+          JOIN e qa ON qa.vec_id = cd.q_id
+          JOIN e nb ON nb.vec_id = cd.n_id)
+        SELECT q_id, nn_rank, n_id, dot FROM scored
+        WHERE nn_rank <= 3
+        ORDER BY q_id, nn_rank""")),
+
+    // H (pipeline capstone, round 14): SEMANTIC dedup — SemDeDup-shaped:
+    // connect the SRP-LSH verified cosine pair set (srpVerifiedPairs, the
+    // exact set llm_neardup_cosine_lsh emits) into connected components
+    // and assign every vector keep_id = min id of its component
+    // (singletons keep themselves). The embedding-space twin of
+    // llm_dedup_cluster, built from the SAME two shared pieces: the LSH
+    // candidate generation (cannot fork from the pair row) and the
+    // min-label-propagation loop (minLabelComponents — extracted verbatim
+    // from the cluster row: eager checkpoint truncation, answer-bound
+    // label broadcasts, pointer jumping, fail-loud convergence). Output
+    // is ONE ROW PER VECTOR — linear where any pair list is quadratic in
+    // cluster size, the same 100 TB output contract as the cluster row.
+    // Oracle: recursive-CTE reachability over the identical replayed pair
+    // set, keep_id = min reachable id (verify-scale walk, the cluster
+    // oracle's form).
+    Q(
+      "llm_dedup_semantic",
+      (s, d) => {
+        val labels = LlmQueries.minLabelComponents(
+          srpVerifiedPairs(s, d)
+            .select(col("a_id").as("src"), col("b_id").as("dst")))
+        // labels is answer-bound (one row per vector with ≥1 near-dup
+        // edge), so the broadcast is legitimate at any corpus size; the
+        // left join + coalesce re-admits edge-free vectors.
+        vecs(s, d).select(col("vec_id"))
+          .join(broadcast(labels), col("vec_id") === col("rep_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("keep_id"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $srpPairsSql,
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM vp
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM vp),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT reach.id, edges.dst
+          FROM reach JOIN edges ON edges.src = reach.r)
+        SELECT id AS vec_id, min(r) AS keep_id
+        FROM reach GROUP BY id
+        ORDER BY vec_id""")),
+
 
     // H: symmetric int8 quantization audit — the memory-scale lever every
     // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot

@@ -61,6 +61,44 @@ class AnnRecallSpec extends GraftSpec {
     }
   }
 
+  // kNN-graph recall (round 14): every vector's top-3 within its OWN hier
+  // cell vs the exact all-pairs top-3 graph. Single-cell candidates probe
+  // ≈1/ncells ≈ 4% of a structureless corpus at random, but cells are
+  // max-dot assignments, so same-cell residents are systematically more
+  // similar than random — the measured lift over the 1/ncells baseline
+  // (0.170–0.180 vs ≈0.043) is exactly the structure the floor guards: a broken
+  // assignment collapses recall toward the random fraction. On clustered
+  // real embeddings the same machinery recalls far higher (neighbors
+  // co-locate); the graph row's role here is plan shape + determinism.
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
+    test(s"llm_knn_graph recall@3 vs the exact kNN graph at $sf") {
+      val got = SparkEntry.queries("llm_knn_graph")(spark, sf)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val a = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val b = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))
+      val exact = a.join(b, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          VectorOps.dot(col("qv"), col("nv")).as("dot"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 3)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val hits = exact.map { case (q, truth) =>
+        (got.getOrElse(q, Set.empty) & truth).size
+      }.sum
+      val total = exact.values.map(_.size).sum
+      val recall = hits.toDouble / total
+      info(f"graph recall@3 = $recall%.3f ($hits/$total) at $sf")
+      assert(recall >= 0.10, f"graph recall $recall%.3f below regression floor")
+    }
+  }
+
   // SRP-LSH pair recall (round 14): the cosine LSH row's output is its
   // deterministic candidate set verified exact, so the oracle hash cannot
   // see a candidate-generation regression that silently shrinks the set —

@@ -66,6 +66,11 @@ class CurationFuzzSpec extends GraftSpec {
     // all-pairs joins stay at ~2.2k pairs.
     "llm_neardup_jaccard", "llm_neardup_shingle", "llm_simhash_neardup",
     "llm_dedup_norm",
+    // Directional containment (r14): the giant repetition doc is a
+    // containment magnet (every "spam spam spam" shingle set contains
+    // it), the short adversarial docs exercise the small-|sh(a)|
+    // denominator, and symmetric dups must emit BOTH directions.
+    "llm_neardup_containment",
     // REAL-decode rows on the adversarial corpus: sha256-derived BMP/WAV
     // containers decode for EVERY text (including empty/unicode), so the
     // JDK decoder output must match DuckDB's arithmetic recomputation

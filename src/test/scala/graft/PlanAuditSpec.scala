@@ -412,6 +412,47 @@ class PlanAuditSpec extends GraftSpec {
       s"no all-pairs fallback anywhere in the LSH plan:\n${p.take(3000)}")
   }
 
+  test("llm_knn_graph shuffles both vector re-attachments; top-k pushes down") {
+    // The scale contract (VectorQueries comment): unlike the probe-bound
+    // kNN rows (whose ≤ probeMax query side broadcasts by license), the
+    // graph row's query side IS the corpus — BOTH the q_id and n_id
+    // vector re-attachments must SHUFFLE-join under auto-broadcast-off
+    // (either broadcast would ship every corpus vector), candidates come
+    // from the cell self-join on c_id, and the per-q top-3 must plan as
+    // WindowGroupLimit heaps. The only BroadcastExchanges allowed are the
+    // hier index's bounded hinted tables (sups / c2s).
+    val p = planNoAutoBroadcast("llm_knn_graph")
+    for (key <- Seq("q_id", "n_id")) {
+      assert(s"SortMergeJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined ||
+        s"ShuffledHashJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined,
+        s"$key vector re-attachment must shuffle, not broadcast:\n${p.take(3000)}")
+      assert(s"BroadcastHashJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isEmpty,
+        s"corpus-bound $key side must never broadcast:\n${p.take(3000)}")
+    }
+    assert(p.contains("WindowGroupLimit"),
+      s"nn_rank <= 3 must push down as WindowGroupLimit:\n${p.take(3000)}")
+  }
+
+  test("llm_dedup_semantic final assembly is one answer-bound broadcast") {
+    // The loop's internals are pinned via the shared pieces (srp pair
+    // generation by the cosine_lsh pin; the label loop is the cluster
+    // row's extracted machinery). What is NEW here is the final
+    // assignment: corpus scan ⟕ labels — labels is answer-bound (one row
+    // per vector with ≥1 edge), so its hinted broadcast must survive
+    // auto-broadcast-off, and the corpus side must reach the join with
+    // no shuffle of its own (the only Exchange is the output orderBy).
+    val p = planNoAutoBroadcast("llm_dedup_semantic")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[rep_id#".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined,
+      s"labels attachment must be the hinted broadcast join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"final assembly must not shuffle-join:\n${p.take(3000)}")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"only the output-order Exchange is allowed:\n${exchanges.mkString("\n")}")
+  }
+
   test("llm_dedup_paragraph shuffles linearly; ownership never broadcasts") {
     // The scale contract (LlmQueries comment): within-doc dedup is
     // map-side (array_distinct before the explode — exactly ONE Generate,
