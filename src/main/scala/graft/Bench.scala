@@ -94,10 +94,15 @@ object Bench {
     // inflated LSH sample now carries its own window evidence. Default set
     // = the two queries three rounds of driver-window swings implicated;
     // env-overridable for adjudication experiments.
+    // llm_dedup_semantic joined the default set in round 14: its
+    // label-propagation loop is localCheckpoint-heavy like the cluster
+    // row, so it inherits the same window sensitivity — flag it from its
+    // first round rather than after its first unexplained swing.
     val membwQueries: Set[String] =
       sys.env.get("SPARK_GRAFT_MEMBW_QUERIES") match {
         case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        case None => Set("llm_neardup_minhash", "llm_dedup_cluster")
+        case None =>
+          Set("llm_neardup_minhash", "llm_dedup_cluster", "llm_dedup_semantic")
       }
     // Shared spawn-and-parse scaffold for BOTH probe channels (round-12
     // review: the per-sample path duplicated probe()'s subprocess code, and
