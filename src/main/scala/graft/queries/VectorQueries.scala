@@ -324,9 +324,26 @@ object VectorQueries {
     * band-colliding pair with cos ≥ 0.3 — shared by llm_neardup_cosine_lsh
     * (which emits it) and llm_dedup_semantic (which connects it into
     * components), so the candidate generation cannot fork between the
-    * pair row and the dedup row. Plan shape per the cosine_lsh comment:
-    * map-only signatures, band-key bucket join, shuffle-only vector
-    * re-attachment.
+    * pair row and the dedup row.
+    *
+    * Plan shape (round-14 A/B, measured): vectors and their precomputed
+    * norms are CARRIED through the band-key bucket join and the cosine is
+    * verified INLINE; only the verified ANSWER is distinct'd (a pair that
+    * collides in k ≤ 4 bands is verified k times — bounded duplicate dot
+    * work — but the candidate-bound distinct AND both corpus re-attach
+    * shuffle joins disappear). The rejected alternative distinct'd the
+    * raw candidate set then re-attached vectors via two corpus joins:
+    * interleaved same-boot pairs read sf0.1 1.02 vs 0.83 s and 10×
+    * staging (pair graph densified ~113× by the verbatim clones) 60.4 vs
+    * 2.35 s — the carried form is 25× faster exactly where the candidate
+    * set outgrows the answer, because the shuffled bytes track the
+    * ANSWER, not the collision count. ADOPTED. Scale rationale: at
+    * production densities (~0.01% near-dup) the carried vectors cost ≤
+    * bands× the corpus bytes through one linear shuffle, while the
+    * distinct-then-attach form pays TWO more corpus-wide shuffles plus
+    * candidate-set state that is unbounded in the collision rate (a hot
+    * bucket of m vectors makes C(m,2) candidate rows BEFORE the verify
+    * can discard them). Still zero broadcasts, no cartesian (pinned).
     */
   private def srpVerifiedPairs(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -339,24 +356,22 @@ object VectorQueries {
       (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
         bits(4 * b + 3) * 8).as(s"band$b")
     }
-    val sig = e.select(col("vec_id") +: bands: _*)
-      .select(col("vec_id"), expr(
+    val sig = e.select(Seq(col("vec_id"), col("v"),
+        sqrt(VectorOps.dot(col("v"), col("v"))).as("nrm")) ++ bands: _*)
+      .select(col("vec_id"), col("v"), col("nrm"), expr(
         "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)" +
           " as (band_idx, band_val)"))
-    val cand = sig.as("a").join(sig.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
-    val ea = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-    val eb = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
-    cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+    val a = sig.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_n"), col("band_idx"), col("band_val"))
+    val b = sig.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_n"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (VectorOps.dot(col("a_v"), col("b_v")) /
-          (sqrt(VectorOps.dot(col("a_v"), col("a_v"))) *
-            sqrt(VectorOps.dot(col("b_v"), col("b_v"))))).as("cos"))
+          (col("a_n") * col("b_n"))).as("cos"))
       .where(col("cos") >= 0.3)
+      .distinct()
   }
 
   /** The DuckDB CTE chain replaying srpVerifiedPairs (e → planes → bits →
@@ -447,8 +462,10 @@ object VectorQueries {
     // Scale shape: the signature stage is map-only (planes are plan
     // literals — zero joins, zero count() passes); pair generation is the
     // LSH family's linear groupBy-shape join on the (band_idx, band_val)
-    // bucket key; verification re-attaches vectors by SHUFFLE join on
-    // vec_id — corpus-bound, pinned never-broadcast under
+    // bucket key, CARRYING each vector + precomputed norm so the cosine
+    // verifies inline and only the answer is distinct'd (the round-14
+    // A/B in srpVerifiedPairs' comment — 25× over distinct-then-attach
+    // at 10× staging); corpus-bound sides pinned never-broadcast under
     // auto-broadcast-off. Bits-per-band is the occupancy knob: at 10¹⁰
     // vectors a production run sizes bands ≈ log2(N/target_bucket) bits
     // (the banding arithmetic is unchanged); 4-bit bands here keep the

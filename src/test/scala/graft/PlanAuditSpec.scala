@@ -398,10 +398,11 @@ class PlanAuditSpec extends GraftSpec {
   test("llm_neardup_cosine_lsh buckets by band; verify never broadcasts the corpus") {
     // The scale contract (VectorQueries comment): signatures are map-only
     // (planes are plan literals — no joins, no count() pass), pair
-    // generation joins on the (band_idx, band_val) bucket key, and the
-    // verify stage re-attaches corpus vectors by SHUFFLE join — both join
-    // inputs are corpus-bound, so under auto-broadcast-off the plan must
-    // carry ZERO BroadcastExchanges end to end.
+    // generation joins on the (band_idx, band_val) bucket key CARRYING
+    // vectors + norms so the verify runs inline (round-14 A/B; the
+    // distinct-then-attach form was 25× slower at 10× staging) — both
+    // join inputs are corpus-bound, so under auto-broadcast-off the plan
+    // must carry ZERO BroadcastExchanges end to end.
     val p = planNoAutoBroadcast("llm_neardup_cosine_lsh")
     assert(!p.contains("BroadcastExchange"),
       s"corpus-bound sides must never broadcast:\n${p.take(3000)}")
