@@ -171,7 +171,7 @@ object LlmQueries {
     * tops out at ~31 MB per row; small groups (the overwhelming majority)
     * still occupy a single row because only chunks with members exist.
     */
-  private val MemberChunks = 256
+  private[queries] val MemberChunks = 256
 
   /** Stages 1–5 of the full-corpus MinHash/LSH near-dup pipeline (see the
     * `llm_neardup_minhash` comment for the per-stage scale rationale),

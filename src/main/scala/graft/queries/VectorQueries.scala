@@ -308,9 +308,9 @@ object VectorQueries {
     * band count, chosen from the target cosine and bucket occupancy, not
     * from corpus size — so no count() pass is needed to build this index.
     */
-  private lazy val srpPlanes: Array[Array[Double]] = {
+  private def srpPlanesN(n: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(16) { j =>
+    Array.tabulate(n) { j =>
       Array.tabulate(64) { k =>
         md.reset()
         val hex = md.digest(s"graft-srp-v1:$j:$k".getBytes("UTF-8"))
@@ -320,34 +320,73 @@ object VectorQueries {
     }
   }
 
-  /** The SRP-LSH verified cosine pair set — (a_id, b_id, cos) for every
-    * band-colliding pair with cos ≥ 0.3 — shared by llm_neardup_cosine_lsh
-    * (which emits it) and llm_dedup_semantic (which connects it into
-    * components), so the candidate generation cannot fork between the
-    * pair row and the dedup row.
-    *
-    * Plan shape (round-14 A/B, measured): vectors and their precomputed
-    * norms are CARRIED through the band-key bucket join and the cosine is
-    * verified INLINE; only the verified ANSWER is distinct'd (a pair that
-    * collides in k ≤ 4 bands is verified k times — bounded duplicate dot
-    * work — but the candidate-bound distinct AND both corpus re-attach
-    * shuffle joins disappear). The rejected alternative distinct'd the
-    * raw candidate set then re-attached vectors via two corpus joins:
-    * interleaved same-boot pairs read sf0.1 1.02 vs 0.83 s and 10×
-    * staging (pair graph densified ~113× by the verbatim clones) 60.4 vs
-    * 2.35 s — the carried form is 25× faster exactly where the candidate
-    * set outgrows the answer, because the shuffled bytes track the
-    * ANSWER, not the collision count. ADOPTED. Scale rationale: at
-    * production densities (~0.01% near-dup) the carried vectors cost ≤
-    * bands× the corpus bytes through one linear shuffle, while the
-    * distinct-then-attach form pays TWO more corpus-wide shuffles plus
-    * candidate-set state that is unbounded in the collision rate (a hot
-    * bucket of m vectors makes C(m,2) candidate rows BEFORE the verify
-    * can discard them). Still zero broadcasts, no cartesian (pinned).
+  private lazy val srpPlanes: Array[Array[Double]] = srpPlanesN(16)
+
+  /** llm_knn_graph's occupancy knobs (round 15): 8 SRP bands of
+    * ⌈log2(⌈N/64⌉)⌉ bits — bucket count ∝ N, expected occupancy ≈ the
+    * constant 64 target at any corpus size, so the bucket self-join is
+    * linear (the r14 √N-cell sizing made it N^1.5 — 43× wall at 30×).
     */
-  private def srpVerifiedPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private val GraphBands = 8
+  private val GraphBucket = 64L
+
+  /** The SRP-LSH rep graph — shared by llm_neardup_cosine_lsh (which
+    * expands it to member pairs) and llm_dedup_semantic (which connects it
+    * into components), so the candidate generation cannot fork between the
+    * pair row and the dedup row. Returns (chunks, verified) where
+    *
+    *   chunks   = ≤MemberChunks rows per DISTINCT vector value:
+    *              (v, cmin, members sorted, rep_id = min member,
+    *              gsize = total members) — the rep-collapse stage (round
+    *              15, r14 verdict #1) added so m byte-identical vectors
+    *              enter band generation ONCE instead of emitting C(m,2)
+    *              verified pairs (the r14 30× staging leg ABORTED on
+    *              exactly that clone densification). Mirrors
+    *              lshRepGraph's stage 1: identical vectors have identical
+    *              sign bits AND identical cosine to every other vector,
+    *              so banding representatives loses nothing and the member
+    *              expansion at the end is exact. Chunked by a vec_id hash
+    *              (ChunkBound machinery) so no row ever holds a whole
+    *              boilerplate-embedding cluster. Persisted — consumed by
+    *              reps below plus the consumers' member expansions.
+    *   verified = exact-verified REP pairs at cos ≥ 0.3:
+    *              (a_rep, b_rep, cos), a_rep < b_rep.
+    *
+    * Plan shape of the verify (round-14 A/B, measured): rep vectors and
+    * their precomputed norms are CARRIED through the band-key bucket join
+    * and the cosine is verified INLINE; only the verified ANSWER is
+    * distinct'd (a pair that collides in k ≤ 4 bands is verified k times —
+    * bounded duplicate dot work — but the candidate-bound distinct AND
+    * both corpus re-attach shuffle joins disappear). The rejected
+    * alternative distinct'd the raw candidate set then re-attached vectors
+    * via two corpus joins: interleaved same-boot pairs read sf0.1 1.02 vs
+    * 0.83 s and 10× staging 60.4 vs 2.35 s — the carried form is 25×
+    * faster exactly where the candidate set outgrows the answer, because
+    * the shuffled bytes track the ANSWER, not the collision count.
+    * ADOPTED. With the round-15 rep collapse in front, the bucket join is
+    * additionally answer-bound on clone-dense corpora: a hot bucket of m
+    * identical vectors is ONE rep row, not m. Still zero corpus-bound
+    * broadcasts, no cartesian (pinned).
+    */
+  private[graft] def srpRepGraph(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val e = vecs(s, d)
+    // Stage 0: collapse byte-identical vectors, member lists chunked by a
+    // vec_id hash (bounded row width — LlmQueries.MemberChunks), group-wide
+    // rep + size attached by one window over the bounded chunk rows.
+    val w = Window.partitionBy(col("v"))
+    val chunks = e
+      .groupBy(col("v"),
+        pmod(xxhash64(col("vec_id")), lit(LlmQueries.MemberChunks)).as("chunk"))
+      .agg(min(col("vec_id")).as("cmin"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .withColumn("rep_id", min(col("cmin")).over(w))
+      .withColumn("gsize", sum(size(col("members"))).over(w))
+      .persist()
+    // Exactly one row per distinct vector (the chunk holding the group min).
+    val reps = chunks.where(col("cmin") === col("rep_id"))
+      .select(col("rep_id"), col("v"))
     val bits: Seq[org.apache.spark.sql.Column] = (0 until 16).map { j =>
       when(VectorOps.dot(col("v"), lit(srpPlanes(j))) >= 0.0, 1L)
         .otherwise(0L)
@@ -356,22 +395,76 @@ object VectorQueries {
       (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
         bits(4 * b + 3) * 8).as(s"band$b")
     }
-    val sig = e.select(Seq(col("vec_id"), col("v"),
+    val sig = reps.select(Seq(col("rep_id"), col("v"),
         sqrt(VectorOps.dot(col("v"), col("v"))).as("nrm")) ++ bands: _*)
-      .select(col("vec_id"), col("v"), col("nrm"), expr(
+      .select(col("rep_id"), col("v"), col("nrm"), expr(
         "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3)" +
           " as (band_idx, band_val)"))
-    val a = sig.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+    val a = sig.select(col("rep_id").as("a_rep"), col("v").as("a_v"),
       col("nrm").as("a_n"), col("band_idx"), col("band_val"))
-    val b = sig.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+    val b = sig.select(col("rep_id").as("b_rep"), col("v").as("b_v"),
       col("nrm").as("b_n"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    val verified = a.join(b, Seq("band_idx", "band_val"))
+      .where(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"),
         (VectorOps.dot(col("a_v"), col("b_v")) /
           (col("a_n") * col("b_n"))).as("cos"))
       .where(col("cos") >= 0.3)
       .distinct()
+    (chunks, verified)
+  }
+
+  /** Per-group "glue" predicate: members of a group are byte-identical, so
+    * every intra-group pair's cosine is dot(v,v)/(nrm·nrm) — ≈1.0 for any
+    * nonzero vector, NULL/NaN for the all-zeros vector (0/0), in which
+    * case the pair FAILS the ≥ τ verify in both engines and the group's
+    * members stay singletons. Computed with the identical IEEE expression
+    * the pairwise verify uses (dot over the same operand order, norm
+    * product in the denominator) so an intra pair carries bit-identical
+    * cos to what the un-collapsed pipeline would have emitted.
+    */
+  private def selfCos: org.apache.spark.sql.Column =
+    VectorOps.dot(col("v"), col("v")) /
+      (sqrt(VectorOps.dot(col("v"), col("v"))) *
+        sqrt(VectorOps.dot(col("v"), col("v"))))
+
+  /** The member-pair expansion of the SRP rep graph — exactly
+    * llm_neardup_minhash's stage 6 (answer-bound semi-join-reduced
+    * broadcasts, reshard between the two explodes so no task emits a whole
+    * C(m,2) clone cluster): cross-group pairs inherit the verified rep cos
+    * verbatim (members are byte-identical to their rep), intra-group pairs
+    * of glued groups carry selfCos. Output (a_id, b_id, cos), a_id < b_id —
+    * bit-identical to what the pre-collapse pipeline emitted, since
+    * identical vectors share all band values (always collide) and every
+    * member pair's cosine IS its reps' cosine.
+    */
+  private def srpVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val (chunks, verified0) = srpRepGraph(s, d)
+    val verified = verified0.persist()
+    val ca = chunks.select(col("rep_id").as("a_rep"), col("members").as("a_members"))
+      .join(verified.select(col("a_rep")).distinct(), Seq("a_rep"), "left_semi")
+    val cb = chunks.select(col("rep_id").as("b_rep"), col("members").as("b_members"))
+      .join(verified.select(col("b_rep")).distinct(), Seq("b_rep"), "left_semi")
+    val crossPairs = verified
+      .join(broadcast(ca), "a_rep")
+      .select(explode(col("a_members")).as("a_m"), col("b_rep"), col("cos"))
+      .repartition(col("a_m"))
+      .join(broadcast(cb), "b_rep")
+      .select(col("a_m"), explode(col("b_members")).as("b_m"), col("cos"))
+      .select(least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"), col("cos"))
+    val multi = chunks.where(col("gsize") > 1)
+      .withColumn("cos", selfCos)
+      .where(col("cos") >= 0.3)
+    val intraPairs = multi
+      .select(col("rep_id"), explode(col("members")).as("a_id"), col("cos"))
+      .repartition(col("a_id"))
+      .join(broadcast(multi.select(col("rep_id"), col("members"))), "rep_id")
+      .select(col("a_id"), explode(col("members")).as("b_id"), col("cos"))
+      .where(col("b_id") > col("a_id"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    crossPairs.unionAll(intraPairs)
   }
 
   /** The DuckDB CTE chain replaying srpVerifiedPairs (e → planes → bits →
@@ -544,52 +637,111 @@ object VectorQueries {
       },
       oracle = Some(hierOracle(probeMax = 100, k = 3))),
 
-    // H (scale form, round 14): full-corpus kNN GRAPH — the semantic-dedup
-    // primitive none of the probe-contract rows are: EVERY vector's exact
-    // top-3 among the residents of its own hierarchically-assigned cell
-    // (the SNN/kNN-graph build step that embedding-cluster dedup and graph
-    // ANN indexes start from). The probe-contract rows bound their query
-    // side (vec_id < 50/100) and broadcast it; here the query side IS the
-    // corpus, so the plan is shaped differently: candidates come from the
-    // cell table's SELF-join on c_id (the LSH bucket-key shape — one
-    // linear shuffle), and BOTH vector re-attachments shuffle-join on id
-    // (either side broadcast would ship the corpus; pinned under
-    // auto-broadcast-off). Per-q top-3 plans as WindowGroupLimit heaps
-    // (pinned), so no cell's full candidate list survives to the sort.
+    // H (scale form, round 14; re-celled round 15): full-corpus kNN GRAPH
+    // — the semantic-dedup primitive none of the probe-contract rows are:
+    // EVERY vector's exact top-3 among its SRP-band bucket-mates (the
+    // SNN/kNN-graph build step that embedding-cluster dedup and graph ANN
+    // indexes start from). The probe-contract rows bound their query side
+    // (vec_id < 50/100) and broadcast it; here the query side IS the
+    // corpus, so the plan is the LSH bucket-key shape: candidates come
+    // from the signature table's SELF-join on (band_idx, band_val), rep
+    // vectors are CARRIED through the bucket join (the round-14
+    // carried-verify mechanics) so the dot scores inline with zero
+    // re-attach joins, multi-band duplicate candidates collapse in ONE
+    // linear (q_id, n_id) aggregation, and the per-q top-3 plans as
+    // WindowGroupLimit heaps (pinned) so no bucket's full candidate list
+    // survives to the sort.
     //
-    // Scale note: with the fixture's ≈√N cells the candidate phase totals
-    // Σ_cells |cell|² ≈ N^1.5 scored pairs; cell COUNT is the occupancy
-    // knob — production sizes ncells ∝ N/B for a constant target bucket B
-    // (as with the LSH rows' bits-per-band), making the bucket join
-    // linear at any corpus size with the identical plan shape. Vectors
-    // alone in their cell have no candidates and drop out (deterministic
-    // in both engines).
+    // Cell sizing (round 15, r14 verdict #2): the r14 version reused
+    // hierIndex's probe-contract ≈√N cells, so the candidate phase
+    // totaled Σ|cell|² ≈ N^1.5 scored pairs — measured 43× wall at 30×
+    // staging. This row now has its OWN occupancy-targeted cells: 8
+    // independent SRP bands of ⌈log2(⌈N/64⌉)⌉ sign bits each (the
+    // bits-per-band knob the LSH rows document), so bucket count ∝ N and
+    // expected occupancy stays ≈ the constant target 64 at every corpus
+    // size — per-band candidate work ≈ N·64, total ≈ 8·64·N, LINEAR.
+    // Assignment is map-only (planes are md5-derived plan literals — no
+    // count()-dependent centroid joins at all; the one count() pass sizes
+    // bits_per_band, an integer derived via binary-string length so both
+    // engines compute it exactly, never through float log2). 8 bands
+    // (vs the pair row's 4) buy union-recall: a true neighbor is a
+    // candidate if it agrees on ALL bits of ANY band.
     Q(
       "llm_knn_graph",
       (s, d) => {
-        val (e, _, cell, _) = hierIndex(s, d)
-        val a = cell.select(col("vec_id").as("q_id"), col("c_id"))
-        val b = cell.select(col("vec_id").as("n_id"), col("c_id"))
-        val cand = a.join(b, Seq("c_id"))
-          .where(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"))
-        val qa = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val nb = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        val e = vecs(s, d).persist()
+        val n = e.count()
+        val ncellsTarget = math.max(1L, (n + GraphBucket - 1) / GraphBucket)
+        val bBits = java.lang.Long.toBinaryString(
+          math.max(1L, ncellsTarget - 1)).length
+        val planes = srpPlanesN(GraphBands * bBits)
+        val bits: Seq[org.apache.spark.sql.Column] =
+          (0 until GraphBands * bBits).map { j =>
+            when(VectorOps.dot(col("v"), lit(planes(j))) >= 0.0, 1L)
+              .otherwise(0L)
+          }
+        val bandCols = (0 until GraphBands).map { bi =>
+          (0 until bBits).map(t => bits(bi * bBits + t) * (1L << t))
+            .reduce(_ + _).as(s"band$bi")
+        }
+        val sig = e.select(Seq(col("vec_id"), col("v")) ++ bandCols: _*)
+          .select(col("vec_id"), col("v"), expr(
+            s"stack($GraphBands, " +
+              (0 until GraphBands).map(i => s"${i}L, band$i").mkString(", ") +
+              ") as (band_idx, band_val)"))
+        val a = sig.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("band_idx"), col("band_val"))
+        val b = sig.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("band_idx"), col("band_val"))
         val rankW = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("n_id"))
-        cand.join(qa, Seq("q_id")).join(nb, Seq("n_id"))
+        a.join(b, Seq("band_idx", "band_val"))
+          .where(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"),
             VectorOps.dot(col("qv"), col("nv")).as("dot"))
+          // One linear shuffle collapses the ≤8× per-band candidate
+          // multiplicity (all copies carry the identical dot, so max is
+          // a value no-op); a distinct-then-attach form would pay two
+          // corpus-wide re-attach joins instead (rejected in the r14
+          // carried-verify A/B, 25× at 10× staging).
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(max(col("dot")).as("dot"))
           .withColumn("nn_rank", row_number().over(rankW))
           .where(col("nn_rank") <= 3)
           .select(col("q_id"), col("nn_rank"), col("n_id"), col("dot"))
           .orderBy(col("q_id"), col("nn_rank"))
       },
-      oracle = Some(s"""$hierCellsSql,
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s0 AS (SELECT count(*) AS n FROM embeddings),
+        -- bits/band = ⌈log2(⌈N/64⌉)⌉ via exact integer binary-string
+        -- length (float log2 could straddle a ulp boundary between
+        -- engines at exact powers of two): length(bin(x)) = ⌊log2 x⌋+1.
+        s AS (
+          SELECT length(bin(greatest(1,
+                   greatest(1, (n + 63) // 64) - 1))) AS bb
+          FROM s0),
+        h AS (
+          SELECT j, list_transform(range(0, 64), k ->
+            ((('0x' || substr(md5('graft-srp-v1:' || j || ':' || k), 1, 8))::BIGINT
+              % 1000001) - 500000) / 500000.0) AS hv
+          FROM range(0, 520) t(j)
+          WHERE j < 8 * (SELECT bb FROM s)),
+        bits AS (
+          SELECT e.vec_id, h.j, s.bb,
+                 CASE WHEN list_dot_product(e.v, h.hv) >= 0
+                   THEN 1 ELSE 0 END AS bit
+          FROM e CROSS JOIN h CROSS JOIN s),
+        sig AS (
+          SELECT vec_id, j // bb AS band_idx,
+                 CAST(sum(bit * (1 << (j % bb))) AS BIGINT) AS band_val
+          FROM bits GROUP BY vec_id, j // bb),
         cand AS (
-          SELECT a.vec_id AS q_id, b.vec_id AS n_id
-          FROM cell a JOIN cell b ON a.c_id = b.c_id
-          WHERE a.vec_id <> b.vec_id),
+          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+          FROM sig a JOIN sig b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.vec_id <> b.vec_id),
         scored AS (
           SELECT cd.q_id, cd.n_id, list_dot_product(qa.v, nb.v) AS dot,
                  row_number() OVER (PARTITION BY cd.q_id
@@ -620,16 +772,30 @@ object VectorQueries {
     Q(
       "llm_dedup_semantic",
       (s, d) => {
+        // Round 15 (r14 verdict #1): the component loop runs over the REP
+        // graph, not the expanded member pairs — m byte-identical vectors
+        // are ONE label row, so |labels| (and every in-loop broadcast) is
+        // bounded by the DISTINCT-vector near-dup answer even on
+        // clone-dense corpora where member labels were corpus-order.
+        // Exactly llm_dedup_cluster's shape: components over reps, then
+        // chunk-by-chunk member expansion at the final assignment.
+        val (chunks, verified) = srpRepGraph(s, d)
         val labels = LlmQueries.minLabelComponents(
-          srpVerifiedPairs(s, d)
-            .select(col("a_id").as("src"), col("b_id").as("dst")))
-        // labels is answer-bound (one row per vector with ≥1 near-dup
-        // edge), so the broadcast is legitimate at any corpus size; the
-        // left join + coalesce re-admits edge-free vectors.
-        vecs(s, d).select(col("vec_id"))
-          .join(broadcast(labels), col("vec_id") === col("rep_id"), "left")
+          verified.select(col("a_rep").as("src"), col("b_rep").as("dst")))
+        // keep_id equivalence with the member-pair semantics: members of a
+        // GLUED group (selfCos ≥ τ — any nonzero duplicate vector) are
+        // mutually near-dup, so they share their rep's component
+        // (coalesce re-admits reps with no cross edges); members of a
+        // non-glued group (the all-zeros vector: selfCos is 0/0, failing
+        // the verify in both engines) have no edges at all — intra pairs
+        // fail the same τ check and cross pairs fail on the zero norm —
+        // so each keeps itself, exactly as the pair-graph walk decides.
+        chunks.join(broadcast(labels), Seq("rep_id"), "left")
+          .select(explode(col("members")).as("vec_id"),
+            when(selfCos >= 0.3,
+              coalesce(col("comp"), col("rep_id"))).as("glued_keep"))
           .select(col("vec_id"),
-            coalesce(col("comp"), col("vec_id")).as("keep_id"))
+            coalesce(col("glued_keep"), col("vec_id")).as("keep_id"))
           .orderBy(col("vec_id"))
       },
       oracle = Some(s"""

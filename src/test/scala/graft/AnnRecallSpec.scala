@@ -61,15 +61,17 @@ class AnnRecallSpec extends GraftSpec {
     }
   }
 
-  // kNN-graph recall (round 14): every vector's top-3 within its OWN hier
-  // cell vs the exact all-pairs top-3 graph. Single-cell candidates probe
-  // ≈1/ncells ≈ 4% of a structureless corpus at random, but cells are
-  // max-dot assignments, so same-cell residents are systematically more
-  // similar than random — the measured lift over the 1/ncells baseline
-  // (0.170–0.180 vs ≈0.043) is exactly the structure the floor guards: a broken
-  // assignment collapses recall toward the random fraction. On clustered
-  // real embeddings the same machinery recalls far higher (neighbors
-  // co-locate); the graph row's role here is plan shape + determinism.
+  // kNN-graph recall (round 14; re-celled round 15): every vector's top-3
+  // among its SRP band bucket-mates (8 bands × ⌈log2(⌈N/64⌉)⌉ bits) vs
+  // the exact all-pairs top-3 graph. At the test SFs (N=500) the
+  // occupancy-targeted sizing gives 3-bit bands, so the 8-band union
+  // covers most of the corpus per query — measured 0.875–0.895 (vs
+  // 0.170–0.180 for the r14 √N hier cells, whose candidate phase was the
+  // N^1.5 scale-killer the r14 verdict flagged). Recall naturally
+  // declines toward the 8·64/N candidate fraction's union-probability as
+  // N grows (the constant-occupancy trade); the floor guards the
+  // candidate generator at THESE corpus sizes — a broken band assignment
+  // collapses recall toward the random fraction.
   for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
     test(s"llm_knn_graph recall@3 vs the exact kNN graph at $sf") {
       val got = SparkEntry.queries("llm_knn_graph")(spark, sf)
@@ -95,7 +97,7 @@ class AnnRecallSpec extends GraftSpec {
       val total = exact.values.map(_.size).sum
       val recall = hits.toDouble / total
       info(f"graph recall@3 = $recall%.3f ($hits/$total) at $sf")
-      assert(recall >= 0.10, f"graph recall $recall%.3f below regression floor")
+      assert(recall >= 0.60, f"graph recall $recall%.3f below regression floor")
     }
   }
 

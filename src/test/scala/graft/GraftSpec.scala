@@ -15,6 +15,17 @@ object TestEnv {
   val Sf001  = "/root/testdata/sf0.001"
   val Sf01   = "/root/testdata/sf0.01"
 
+  /** The bench-scale corpus — NOT part of the Sf001/Sf01 test-fixture
+    * contract (round-15 ADVICE): suites that deliberately exercise it
+    * (the biggest local corpus, where oracle walks are never run) must
+    * honor the Bench env override and `assume(sfBenchExists)` so a host
+    * without the bench fixtures cancels those cases instead of failing.
+    */
+  val SfBench: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  def sfBenchExists: Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(SfBench))
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

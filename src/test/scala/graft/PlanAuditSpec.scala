@@ -397,61 +397,89 @@ class PlanAuditSpec extends GraftSpec {
 
   test("llm_neardup_cosine_lsh buckets by band; verify never broadcasts the corpus") {
     // The scale contract (VectorQueries comment): signatures are map-only
-    // (planes are plan literals — no joins, no count() pass), pair
-    // generation joins on the (band_idx, band_val) bucket key CARRYING
-    // vectors + norms so the verify runs inline (round-14 A/B; the
-    // distinct-then-attach form was 25× slower at 10× staging) — both
-    // join inputs are corpus-bound, so under auto-broadcast-off the plan
-    // must carry ZERO BroadcastExchanges end to end.
+    // over the rep-collapsed vectors (planes are plan literals — no
+    // joins), pair generation joins on the (band_idx, band_val) bucket
+    // key CARRYING rep vectors + norms so the verify runs inline
+    // (round-14 A/B; the distinct-then-attach form was 25× slower at 10×
+    // staging) — both bucket-join inputs are corpus-bound, so the ONLY
+    // BroadcastExchanges allowed under auto-broadcast-off are the three
+    // answer-bound member re-attachments of the round-15 expansion
+    // (semi-join-reduced ca/cb + the gsize>1 intra side — exactly
+    // llm_neardup_minhash's stage-6 pin). Distinct plan_ids, because the
+    // cached chunks/verified subtrees re-PRINT their build plan at every
+    // InMemoryRelation reference.
     val p = planNoAutoBroadcast("llm_neardup_cosine_lsh")
-    assert(!p.contains("BroadcastExchange"),
-      s"corpus-bound sides must never broadcast:\n${p.take(3000)}")
     assert("SortMergeJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined ||
       "ShuffledHashJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined,
       s"pair generation must join on the band bucket key:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"),
       s"no all-pairs fallback anywhere in the LSH plan:\n${p.take(3000)}")
+    val hinted = p.linesIterator.filter(_.contains("BroadcastExchange"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(hinted.size == 3,
+      s"expected exactly the 3 answer-bound hinted broadcasts, got ${hinted.size}:\n" +
+        p.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
   }
 
-  test("llm_knn_graph shuffles both vector re-attachments; top-k pushes down") {
-    // The scale contract (VectorQueries comment): unlike the probe-bound
-    // kNN rows (whose ≤ probeMax query side broadcasts by license), the
-    // graph row's query side IS the corpus — BOTH the q_id and n_id
-    // vector re-attachments must SHUFFLE-join under auto-broadcast-off
-    // (either broadcast would ship every corpus vector), candidates come
-    // from the cell self-join on c_id, and the per-q top-3 must plan as
-    // WindowGroupLimit heaps. The only BroadcastExchanges allowed are the
-    // hier index's bounded hinted tables (sups / c2s).
+  test("llm_knn_graph scores inline over the band bucket join; top-k pushes down") {
+    // The scale contract (VectorQueries comment, round 15): candidates
+    // come from the SRP signature table's SELF-join on the
+    // (band_idx, band_val) bucket key with vectors CARRIED (zero
+    // re-attach joins, zero broadcasts — the query side IS the corpus),
+    // the ≤8× per-band candidate multiplicity collapses in ONE
+    // (q_id, n_id) hash aggregation with a map-side partial, and the
+    // per-q top-3 must plan as WindowGroupLimit heaps so no bucket's
+    // full candidate list survives to the sort.
     val p = planNoAutoBroadcast("llm_knn_graph")
-    for (key <- Seq("q_id", "n_id")) {
-      assert(s"SortMergeJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined ||
-        s"ShuffledHashJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined,
-        s"$key vector re-attachment must shuffle, not broadcast:\n${p.take(3000)}")
-      assert(s"BroadcastHashJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isEmpty,
-        s"corpus-bound $key side must never broadcast:\n${p.take(3000)}")
-    }
+    assert("SortMergeJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*)band_".r.findFirstIn(p).isDefined,
+      s"candidates must come from the band bucket self-join:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus-bound sides must never broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs fallback in the graph plan:\n${p.take(3000)}")
+    assert("HashAggregate\\(keys=\\[q_id#(?:[^\\n]*), n_id#".r
+      .findFirstIn(p).isDefined,
+      s"multi-band duplicates must collapse in one (q_id, n_id) agg:\n${p.take(3000)}")
     assert(p.contains("WindowGroupLimit"),
       s"nn_rank <= 3 must push down as WindowGroupLimit:\n${p.take(3000)}")
   }
 
   test("llm_dedup_semantic final assembly is one answer-bound broadcast") {
-    // The loop's internals are pinned via the shared pieces (srp pair
+    // The loop's internals are pinned via the shared pieces (srp rep-pair
     // generation by the cosine_lsh pin; the label loop is the cluster
-    // row's extracted machinery). What is NEW here is the final
-    // assignment: corpus scan ⟕ labels — labels is answer-bound (one row
-    // per vector with ≥1 edge), so its hinted broadcast must survive
-    // auto-broadcast-off, and the corpus side must reach the join with
-    // no shuffle of its own (the only Exchange is the output orderBy).
+    // row's extracted machinery). What is pinned here is the final
+    // assignment: rep-collapsed chunks ⟕ labels — labels is answer-bound
+    // (one row per DISTINCT vector with ≥1 edge, round 15), so its hinted
+    // broadcast must survive auto-broadcast-off, the member expansion
+    // must not shuffle-JOIN anywhere, and the only shuffles are the
+    // chunks build's own two linear corpus exchanges (groupBy(v, chunk) +
+    // the window over v — both keyed on the vector value) plus the
+    // output orderBy. Distinct plan_ids: the cached chunks subtree
+    // re-prints its build at every InMemoryRelation reference.
     val p = planNoAutoBroadcast("llm_dedup_semantic")
-    assert("BroadcastHashJoin(?:[^\\n]*) \\[rep_id#".r.findFirstIn(p).isDefined ||
-      "BroadcastHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined,
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[rep_id#".r.findFirstIn(p).isDefined,
       s"labels attachment must be the hinted broadcast join:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"final assembly must not shuffle-join:\n${p.take(3000)}")
+    // Exchange classification, not a count: the cached chunks subtree is
+    // compiled once by the eager label loop and RE-printed with fresh
+    // plan_ids at the final assembly's InMemoryTableScan, so ids don't
+    // dedupe the prints — but every non-broadcast exchange must still be
+    // either the output orderBy or a chunks-build shuffle keyed on the
+    // VECTOR VALUE (groupBy(v, chunk) / the window over v). A shuffle
+    // keyed on members/comp/rep_id here would mean the expansion or the
+    // label attach regressed to a corpus-wide join exchange.
     val exchanges = p.linesIterator
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toList
-    assert(exchanges.forall(_.contains("rangepartitioning")),
-      s"only the output-order Exchange is allowed:\n${exchanges.mkString("\n")}")
+    assert(exchanges.exists(_.contains("rangepartitioning(vec_id")),
+      s"output-order Exchange missing:\n${exchanges.mkString("\n")}")
+    assert(exchanges.forall(l => l.contains("rangepartitioning(vec_id") ||
+      (l.contains("hashpartitioning") &&
+        (l.contains("(v#") || l.contains("transform(v#")))),
+      s"every hash exchange must be the rep-collapse build (keyed on the vector):\n" +
+        exchanges.mkString("\n"))
   }
 
   test("llm_dedup_paragraph shuffles linearly; ownership never broadcasts") {
