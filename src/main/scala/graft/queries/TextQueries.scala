@@ -68,6 +68,62 @@ object TextQueries {
   /** llm_tfidf_topk literal: keywords kept per document. */
   private val TfidfTopK = 3
 
+  /** Stages 1–5 of the full-corpus prefix-filter containment pipeline
+    * (see llm_containment_prefix for the per-stage scale rationale):
+    * returns (chunks, verified) in the lshRepGraph/srpRepGraph contract —
+    * chunked identical-shingle-set rep groups (persisted) and the
+    * exact-verified ORDERED rep pairs (a_rep, b_rep, cont) at cont ≥ 0.5.
+    */
+  private[graft] def containmentRepGraph(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toksAll(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        sort_array(transform(array_distinct(
+          expr("transform(sequence(1, size(toks) - 2), " +
+            "i -> array_join(slice(toks, i, 3), ' '))")),
+          sh => xxhash64(sh))).as("sids"))
+    val w = Window.partitionBy(col("sids"))
+    val chunks = t
+      .groupBy(col("sids"),
+        pmod(xxhash64(col("doc_id")), lit(LlmQueries.MemberChunks)).as("chunk"))
+      .agg(min(col("doc_id")).as("cmin"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("rep_id", min(col("cmin")).over(w))
+      .withColumn("gsize", sum(size(col("members"))).over(w))
+      .persist()
+    val reps = chunks.where(col("cmin") === col("rep_id"))
+      .select(col("rep_id"), col("sids"))
+    val df = reps.select(explode(col("sids")).as("sid"))
+      .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val ranked = reps.select(col("rep_id"), explode(col("sids")).as("sid"))
+      .join(df, "sid")
+      .groupBy(col("rep_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
+    val prefix = ranked
+      .select(col("rep_id").as("a_rep"),
+        explode(expr("slice(ranked, 1, size(ranked) div 2 + 1)")).as("p"))
+      .select(col("a_rep"), col("p.sid").as("sid"))
+    val index = reps.select(col("rep_id").as("b_rep"),
+      explode(col("sids")).as("sid"))
+    val cand = prefix.join(index, "sid")
+      .where(col("a_rep") =!= col("b_rep"))
+      .select(col("a_rep"), col("b_rep"))
+      .distinct()
+    val ga = reps.select(col("rep_id").as("a_rep"), col("sids").as("a_s"))
+    val gb = reps.select(col("rep_id").as("b_rep"), col("sids").as("b_s"))
+    val inter = graft.functions.VectorOps
+      .sortedIntersectCount(col("a_s"), col("b_s")).cast("int")
+    val verified = cand
+      .join(ga, "a_rep").join(gb, "b_rep")
+      .select(col("a_rep"), col("b_rep"),
+        (inter.cast("double") / size(col("a_s")).cast("double")).as("cont"))
+      .where(col("cont") >= 0.5)
+    (chunks, verified)
+  }
+
   /** llm_doc_chunk literals (interpolated on both engines, DfCap
     * precedent): retrieval-chunk length and stride in tokens. Stride <
     * length gives the overlap every RAG chunker keeps so no answer spans
@@ -279,6 +335,101 @@ object TextQueries {
                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
           FROM (SELECT doc_id, $toksAllDuck AS toks
                 FROM documents WHERE doc_id < 300)
+          WHERE len(toks) >= 3),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) AS cont
+          FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+        SELECT a_id, b_id, cont FROM p
+        WHERE cont >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // H (scale form, round 15 — r14 verdict #5): FULL-CORPUS directional
+    // containment — llm_neardup_containment's exact contract (3-gram
+    // shingles, C(a→b) = |sh(a)∩sh(b)| / |sh(a)| ≥ 0.5, ordered pairs)
+    // with a linear-shaped candidate generator instead of the bounded
+    // all-pairs probe. The r14 verdict suggested reusing the MINHASH
+    // BANDING for candidates; rejected on correctness grounds: banding
+    // approximates JACCARD, and the pairs this operator exists for (a
+    // short doc quoted inside a much longer one) have high containment
+    // with arbitrarily LOW Jaccard — |a∩b|/|a∪b| ≈ |a|/|b| — so a
+    // Jaccard-banded generator misses exactly the quote/subset pairs and
+    // the row could never match its exact oracle. The correct exact
+    // machinery for an overlap threshold is the PREFIX FILTER (the
+    // AllPairs/PPJoin family): C(a→b) ≥ τ ⟹ |a∩b| ≥ ⌈τ·|a|⌉ = t, and any
+    // (|a|-t+1)-subset of sh(a) must then intersect sh(b) — so probing a
+    // doc's ⌊|a|/2⌋+1 RAREST shingles (rarity = global df, a pure
+    // performance heuristic; ANY subset of that size is exact) against a
+    // full inverted index has recall 1 BY CONSTRUCTION, which is what
+    // lets the row stay driver-hash-green against the plain all-pairs
+    // oracle, like llm_neardup_minhash (banding miss prob ≈5e-8) but with
+    // a zero-miss argument instead of a probabilistic one.
+    //
+    // Pipeline (shares the LSH family's stage shapes):
+    //   1. rep-collapse identical shingle SETS (chunked members — the
+    //      round-15 srpRepGraph/lshRepGraph stage, so a boilerplate
+    //      cluster probes once);
+    //   2. df per shingle over reps (one linear groupBy);
+    //   3. rarity-ranked shingle lists per rep (one shuffle join on the
+    //      shingle id — df is vocabulary-scale, NEVER broadcast);
+    //   4. candidates = prefix explode ⋈ full-index explode on sid,
+    //      two-column distinct (hot shingles stay out of rare-first
+    //      prefixes, the standard PPJoin skew control);
+    //   5. verify once per ORDERED rep pair on sorted 64-bit shingle ids
+    //      (sortedIntersectCount; reps joins unhinted = shuffle, the
+    //      round-9 corpus-bound-broadcast rule);
+    //   6. member expansion exactly like minhash stage 6 (answer-bound
+    //      semi-join-reduced broadcasts, reshard between the explodes) —
+    //      ordered pairs, so NO least/greatest: cross pairs keep their
+    //      (a→b) direction, intra pairs of multi-member groups emit both
+    //      directions at cont = 1.0 (identical sets, |a∩a|/|a| exact).
+    //
+    // Measured (round 15, warmed medians, healthy window): sf0.1 6.8 s
+    // (4992 reps, 27.2k distinct shingles, ~919k distinct candidates from
+    // the prefix join, 482 verified rep pairs); 10× staging 13.1 s —
+    // 1.93× wall at 10× data, because the staged clones collapse in the
+    // rep stage and the pair work is unchanged (excluded from ScaleProbe
+    // like the other pair-LIST rows: the staged answer itself grows
+    // quadratically in the factor, an artifact of the staging). The
+    // fixture's 31-token vocabulary is the prefix filter's worst case —
+    // every shingle is hot, so rarity ordering prunes little and ~7% of
+    // rep pairs stay candidates; on a realistic zipfian-shingle corpus
+    // the rare-first prefix excludes stopword shingles and the candidate
+    // set tracks the near-dup answer.
+    Q(
+      "llm_containment_prefix",
+      (s, d) => {
+        val (chunks, verified0) = containmentRepGraph(s, d)
+        val verified = verified0.persist()
+        val ca = chunks.select(col("rep_id").as("a_rep"), col("members").as("a_members"))
+          .join(verified.select(col("a_rep")).distinct(), Seq("a_rep"), "left_semi")
+        val cb = chunks.select(col("rep_id").as("b_rep"), col("members").as("b_members"))
+          .join(verified.select(col("b_rep")).distinct(), Seq("b_rep"), "left_semi")
+        val crossPairs = verified
+          .join(broadcast(ca), "a_rep")
+          .select(explode(col("a_members")).as("a_id"), col("b_rep"), col("cont"))
+          .repartition(col("a_id"))
+          .join(broadcast(cb), "b_rep")
+          .select(col("a_id"), explode(col("b_members")).as("b_id"), col("cont"))
+        val multi = chunks.where(col("gsize") > 1)
+        val intraPairs = multi
+          .select(col("rep_id"), explode(col("members")).as("a_id"))
+          .repartition(col("a_id"))
+          .join(broadcast(multi.select(col("rep_id"), col("members"))), "rep_id")
+          .select(col("a_id"), explode(col("members")).as("b_id"))
+          .where(col("b_id") =!= col("a_id"))
+          .select(col("a_id"), col("b_id"), lit(1.0).as("cont"))
+        crossPairs.unionAll(intraPairs)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $toksAllDuck AS toks
+                FROM documents)
           WHERE len(toks) >= 3),
         p AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,

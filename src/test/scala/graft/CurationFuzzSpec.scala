@@ -71,6 +71,14 @@ class CurationFuzzSpec extends GraftSpec {
     // it), the short adversarial docs exercise the small-|sh(a)|
     // denominator, and symmetric dups must emit BOTH directions.
     "llm_neardup_containment",
+    // Full-corpus prefix-filter containment (r15): same adversarial
+    // surface as the bounded row PLUS the scale machinery's own edges —
+    // the 16-word vocabulary makes hot shingles routine (prefix-filter
+    // rarity ordering genuinely reorders), the repetition magnet
+    // collapses to a tiny shingle set probed by everything, and
+    // identical fuzz sentences form multi-member rep groups that must
+    // emit both intra directions at cont = 1.0.
+    "llm_containment_prefix",
     // REAL-decode rows on the adversarial corpus: sha256-derived BMP/WAV
     // containers decode for EVERY text (including empty/unicode), so the
     // JDK decoder output must match DuckDB's arithmetic recomputation

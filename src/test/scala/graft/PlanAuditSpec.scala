@@ -422,6 +422,30 @@ class PlanAuditSpec extends GraftSpec {
         p.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
   }
 
+  test("llm_containment_prefix: df and verify shuffle; only expansion broadcasts") {
+    // The scale contract (TextQueries comment): the df table is
+    // vocabulary-scale and the reps sides are corpus-scale, so the
+    // rarity-ranking join on sid, the candidate prefix⋈index join on sid,
+    // and both verify attachments on a_rep/b_rep must all SHUFFLE under
+    // auto-broadcast-off; the ONLY hinted broadcasts are the three
+    // answer-bound member re-attachments of the expansion (the minhash
+    // stage-6 pin). No cartesian anywhere.
+    val p = planNoAutoBroadcast("llm_containment_prefix")
+    for (key <- Seq("sid", "a_rep", "b_rep")) {
+      assert(s"SortMergeJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined ||
+        s"ShuffledHashJoin(?:[^\\n]*) \\[$key#".r.findFirstIn(p).isDefined,
+        s"$key join must shuffle, not broadcast:\n${p.take(3000)}")
+    }
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs fallback in the prefix-filter plan:\n${p.take(3000)}")
+    val hinted = p.linesIterator.filter(_.contains("BroadcastExchange"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(hinted.size == 3,
+      s"expected exactly the 3 answer-bound hinted broadcasts, got ${hinted.size}:\n" +
+        p.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
+  }
+
   test("llm_knn_graph scores inline over the band bucket join; top-k pushes down") {
     // The scale contract (VectorQueries comment, round 15): candidates
     // come from the SRP signature table's SELF-join on the
