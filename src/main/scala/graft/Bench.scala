@@ -58,7 +58,7 @@ object Bench {
       })
     val benchT0 = System.nanoTime()
     case class Sample(sec: Double, at: Double, ev: Long, bw: Double = -1.0,
-      bwAfter: Double = -1.0, hb: Seq[Double] = Nil)
+      bwAfter: Double = -1.0, hb: Seq[Double] = Nil, hbOn: Boolean = false)
     // A crashed query must not enter the median looking like a fast
     // success (round-7 ADVICE): failures return the -1.0 sentinel, kept in
     // the raw samples (visible in BENCH_FULL.json) but excluded from the
@@ -154,10 +154,15 @@ object Bench {
       private lazy val src = new Array[Byte](Len)
       private lazy val dst = new Array[Byte](Len)
       @volatile private var running = false
-      private var rates = List.empty[Double] // guarded by this.synchronized
+      // Each start() hands ITS OWN buffer to the worker closure (round-15
+      // ADVICE: a field-shared list let a stale thread that outlived its
+      // join(2000) keep appending into the NEXT sample's series); a stale
+      // thread can then only ever write into its own dead buffer.
       private var worker: Thread = _
+      private var current: java.util.concurrent.ConcurrentLinkedQueue[Double] = _
       def start(): Unit = {
-        synchronized { rates = Nil }
+        val rates = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        current = rates
         running = true
         worker = new Thread(() => {
           var winBytes = 0L
@@ -168,8 +173,7 @@ object Bench {
             winBytes += 2L * Len
             val now = System.nanoTime()
             if (now - winT0 >= 1000000000L) {
-              val r = winBytes / ((now - winT0) / 1e9)
-              synchronized { rates ::= r }
+              rates.add(winBytes / ((now - winT0) / 1e9))
               winBytes = 0L
               winT0 = now
             }
@@ -178,7 +182,7 @@ object Bench {
           // (a few-ms tail rate is dominated by the stop latency itself).
           val now = System.nanoTime()
           if (now - winT0 >= 200000000L)
-            synchronized { rates ::= winBytes / ((now - winT0) / 1e9) }
+            rates.add(winBytes / ((now - winT0) / 1e9))
         }, "bench-membw-heartbeat")
         worker.setDaemon(true)
         worker.start()
@@ -186,7 +190,15 @@ object Bench {
       def stop(): Seq[Double] = {
         running = false
         if (worker != null) worker.join(2000)
-        synchronized { rates.reverse }
+        // A worker still alive after the bounded join is a measurement
+        // hazard, not evidence (round-15 ADVICE): it may still be mid-copy
+        // — discard the sample's series (absence = not-measured, the
+        // established sample_meta signal) rather than emit a half-window.
+        if (worker != null && worker.isAlive) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          current.iterator().asScala.toSeq
+        }
       }
     }
     def time(q: Q): Sample = {
@@ -210,7 +222,7 @@ object Bench {
       // change inside them is not this sample's evidence).
       val bwAfter = if (flagged) probeMembw() else -1.0
       clearState()
-      Sample(if (ok) dt else -1.0, at, ev, bw, bwAfter, hb)
+      Sample(if (ok) dt else -1.0, at, ev, bw, bwAfter, hb, hbOn = flagged)
     }
     // Repeat-run mode, ADAPTIVE (round-7 verdict #1): a static allowlist
     // keyed to last round's swings always misses the next one, so ANY
@@ -367,8 +379,14 @@ object Bench {
           s""","hb":${s.hb.map(r => String.format(java.util.Locale.ROOT,
             "%.3g", Double.box(r))).mkString("[", ",", "]")}"""
         } else ""
+        // Explicit heartbeat marker (round-15 ADVICE): the copy loop runs
+        // INSIDE the timed region, so flagged-row `sec` readings carry its
+        // constant tax from round 14 on — `hb_on` marks which samples paid
+        // it without a reader inferring from hb's presence (a discarded
+        // series would otherwise be indistinguishable from not-measured).
+        val hbOnField = if (s.hbOn) s""","hb_on":true""" else ""
         s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}""" +
-          s"""$bwField$bwAfterField$hbField}"""
+          s"""$bwField$bwAfterField$hbField$hbOnField}"""
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Run series (round-9 verdict #3): best-of-N sidecar selection
@@ -379,6 +397,43 @@ object Bench {
     // and installs the MEDIAN admissible run's sidecar, never the best.
     val canaryJson =
       s"""{"ran":$canaryRan,"warm_distinct":$warmDistinct,"dir":${jstr(warmDir)}}"""
+    // Per-query admissibility verdicts IN the artifact (round-14 verdict
+    // #4): the brackets and the rule both live here, so any runner's
+    // BENCH_FULL carries the verdict map without tools/bench_runs.py in
+    // the loop. Rule (round-15 ADVICE fix): a sample is clean iff its
+    // bracket MAX clears the calibrated membw line, and the DENOMINATOR is
+    // ALL samples of the flagged query — a sample with no bracket (probe
+    // failure) counts as not-clean, so a median over 3 samples can never
+    // be ruled admissible from 1-of-1 bracketed. admissible ⇔ clean·2 >
+    // n_samples (a strict majority of clean samples bounds the median by a
+    // clean reading). The threshold is SINGLE-SOURCED from
+    // tools/host_probe.py (the calibration lives there); if the constant
+    // cannot be read the map is omitted — absent = not assessed, never a
+    // hand-copied number.
+    val healthyMembw: Option[Double] = try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(repoDir, "tools", "host_probe.py"))
+      s"HEALTHY_MEMBW\\s*=\\s*($probeNum)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+    val admissibilityJson: Option[String] = healthyMembw.map { line =>
+      samples
+        .filter { case (_, v) => v.exists(_.hbOn) }
+        .map { case (k, v) =>
+          val flags = v.map { s =>
+            if (s.bw < 0.0 && s.bwAfter < 0.0) None
+            else Some(math.max(s.bw, s.bwAfter) >= line)
+          }
+          val clean = flags.count(_.contains(true))
+          val fieldVals = flags
+            .map { case Some(b) => b.toString; case None => "null" }
+            .mkString("[", ",", "]")
+          s""""$k":{"samples":$fieldVals,"n_bracketed":${flags.count(_.isDefined)},""" +
+            s""""n_samples":${v.size},"admissible":${clean * 2 > v.size}}"""
+        }.mkString("{", ",", "}")
+    }
+    val admissibilityField =
+      admissibilityJson.map(j => s""","query_admissibility":$j""").getOrElse("")
     if (only.isEmpty) {
       // Sidecar read/append lives entirely inside the unfiltered branch
       // (round-11 review): filtered runs skip the sidecar, so building its
@@ -400,13 +455,13 @@ object Bench {
         s"""{"total":$total,"sf":${jstr(sfDir)},"probe_before":$probeBefore,""" +
           s""""probe_after":$probeAfter,"stream_canary":$canaryJson,""" +
           s""""queries":$full,"samples":$fullSamples,""" +
-          s""""sample_meta":$meta,"runs":$runs}""")
+          s""""sample_meta":$meta$admissibilityField,"runs":$runs}""")
       catch { case _: Throwable => () } // sidecar is best-effort
     } else {
       // Filtered runs are adjudication probes, not suite evidence — keep
       // them out of the sidecar and its runs series, but surface the
       // forensics on stdout so the experiment is self-contained.
-      println(s"""{"filtered_meta":$meta,"stream_canary":$canaryJson}""")
+      println(s"""{"filtered_meta":$meta$admissibilityField,"stream_canary":$canaryJson}""")
     }
     spark.stop()
     println(line) // last stdout line: survives tail-capture intact

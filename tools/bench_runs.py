@@ -50,25 +50,30 @@ def membw_ok(s):
 
 def query_admissibility(s):
     """Per-QUERY admissibility from per-sample membw brackets (round-13
-    verdict #1c). Each flagged sample carries its own bw/bw_after bracket
-    (graft.Bench, round 14); a sample is admissible under the same
-    bracket-max rule as the run gate, and a query's reading (the median of
-    its samples) is admissible iff MORE THAN HALF of its bracketed samples
-    are — with >n/2 clean samples the median is bounded by a clean reading.
-    Queries without per-sample readings (the non-flagged set) are not
-    assessed and do not appear. Returns {query: {"samples": [bool, ...],
-    "admissible": bool}}."""
+    verdict #1c). Since round 15 graft.Bench emits the verdict map itself
+    (`query_admissibility` in the sidecar — brackets and rule live in one
+    place), so prefer the in-artifact map verbatim; the derivation below
+    only serves pre-r15 sidecars. Rule (round-15 ADVICE fix): clean iff
+    bracket-max clears HEALTHY_MEMBW, DENOMINATOR = all samples of the
+    flagged query (a missing bracket counts as not-clean — a 3-sample
+    median can't be ruled admissible from 1-of-1 bracketed), admissible
+    iff clean*2 > n_samples. Queries with no flagged samples are not
+    assessed and do not appear."""
+    if "query_admissibility" in s:
+        return s["query_admissibility"]
     out = {}
     for q, samples in s.get("sample_meta", {}).items():
         flags = []
         for smp in samples:
             bws = [b for b in (smp.get("bw"), smp.get("bw_after"))
                    if b is not None]
-            if bws:
-                flags.append(max(bws) >= HEALTHY_MEMBW)
-        if flags:
+            flags.append(max(bws) >= HEALTHY_MEMBW if bws else None)
+        if any(f is not None for f in flags):
+            clean = sum(1 for f in flags if f)
             out[q] = {"samples": flags,
-                      "admissible": sum(flags) * 2 > len(flags)}
+                      "n_bracketed": sum(1 for f in flags if f is not None),
+                      "n_samples": len(flags),
+                      "admissible": clean * 2 > len(flags)}
     return out
 
 
