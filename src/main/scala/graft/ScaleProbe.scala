@@ -105,7 +105,12 @@ object ScaleProbe {
     // ratio is informative even though the staged clones densify the
     // pair graph. (llm_neardup_containment is excluded like the other
     // bounded all-pairs text rows: its <300-id probe set is constant
-    // across scales, ratio ≈ 1 by construction.)
+    // across scales, ratio ≈ 1 by construction. llm_containment_prefix
+    // is excluded like the other full-corpus pair-LIST rows — the staged
+    // clones make its true answer quadratic in the factor; its 10×
+    // staging wall is measured out-of-probe instead: 6.8 → 13.1 s
+    // warmed medians, 1.93×, because the clones collapse in the rep
+    // stage [MEASURED r15].)
     "llm_dedup_semantic")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
