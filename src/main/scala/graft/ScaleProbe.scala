@@ -111,7 +111,12 @@ object ScaleProbe {
     // staging wall is measured out-of-probe instead: 6.8 → 13.1 s
     // warmed medians, 1.93×, because the clones collapse in the rep
     // stage [MEASURED r15].)
-    "llm_dedup_semantic")
+    "llm_dedup_semantic",
+    // round 15: the quantized Lloyd update — map-only quantization, one
+    // corpus shuffle join (q ⋈ cell) and one linear (c_id, dim) agg on
+    // top of the hier assignment, so the wall ratio should track the
+    // hier rows' sub-linear curve.
+    "llm_kmeans_update")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -814,6 +814,72 @@ object VectorQueries {
         ORDER BY vec_id""")),
 
 
+    // H (round 15): QUANTIZED K-MEANS CENTROID UPDATE — one exact Lloyd
+    // iteration, the clustering primitive SemDeDup-style diversity
+    // pruning and IVF index builds iterate at scale: assign every vector
+    // to its cell (the shared two-level hier assignment — deterministic,
+    // O(N·N^(1/4))), then per (cell, dimension) emit the member count and
+    // the centroid-update mean. The mean is computed over the int8
+    // QUANTIZED components (llm_emb_quant's exact floor(x/scale·127 + ½)
+    // encoding) for the same reason agg_corr_cov uses exact sums: a
+    // double sum across a shuffle is partition-order-dependent and could
+    // never hash-match DuckDB's sequential sum, while BIGINT sums of
+    // int8 components are order-insensitive-exact and the single final
+    // division is IEEE-identical in both engines — and quantized-domain
+    // k-means is the production memory-scale choice anyway.
+    //
+    // Scale shape: quantization is map-only; q ⋈ cell joins two
+    // corpus-bound sides on vec_id — SHUFFLE join, never broadcast
+    // (pinned); the posexplode is 64 rows per vector feeding ONE linear
+    // (c_id, dim) aggregation with map-side partials; output is
+    // ncells×64 rows — index-scale, not corpus-scale. A full k-means run
+    // loops this query with the previous output as the centroid table;
+    // one iteration is declared because the FIXPOINT is corpus-dependent
+    // while one update is exactly oracle-able.
+    Q(
+      "llm_kmeans_update",
+      (s, d) => {
+        val (e, _, cell, _) = hierIndex(s, d)
+        val q = e
+          .select(col("vec_id"), col("v"),
+            array_max(transform(col("v"), x => abs(x))).as("scale"))
+          .select(col("vec_id"),
+            when(col("scale") > 0,
+              transform(col("v"),
+                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+        q.join(cell, "vec_id")
+          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
+          .groupBy(col("c_id"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("qc")).as("qsum"))
+          .select(col("c_id"), col("dim").cast("bigint").as("dim"),
+            col("n"), col("qsum"),
+            (col("qsum").cast("double") / col("n").cast("double")).as("q_mean"))
+          .orderBy(col("c_id"), col("dim"))
+      },
+      oracle = Some(s"""$hierCellsSql,
+        sc AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN sc.scale > 0
+                   THEN list_transform(e.v,
+                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM e JOIN sc USING (vec_id)),
+        x AS (
+          SELECT cell.c_id, r.i AS dim, qv.q[r.i + 1] AS qc
+          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i))
+        SELECT c_id, CAST(dim AS BIGINT) AS dim,
+               count(*) AS n,
+               CAST(sum(qc) AS BIGINT) AS qsum,
+               CAST(sum(qc) AS DOUBLE) / count(*) AS q_mean
+        FROM x GROUP BY c_id, dim
+        ORDER BY c_id, dim""")),
+
     // H: symmetric int8 quantization audit — the memory-scale lever every
     // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot
     // kernels): per vector, max-abs scaling to [-127, 127] with

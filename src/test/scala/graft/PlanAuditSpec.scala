@@ -470,6 +470,27 @@ class PlanAuditSpec extends GraftSpec {
       s"nn_rank <= 3 must push down as WindowGroupLimit:\n${p.take(3000)}")
   }
 
+  test("llm_kmeans_update shuffle-joins q with cell; one linear (c_id, dim) agg") {
+    // The scale contract (VectorQueries comment): the quantized-vector
+    // table and the cell assignment are BOTH corpus-bound, so their join
+    // on vec_id must SHUFFLE under auto-broadcast-off (the only allowed
+    // BroadcastExchanges are the hier index's bounded hinted tables —
+    // sups / c2s); the centroid update itself is one hash aggregation on
+    // (c_id, dim) with a map-side partial so the 64-rows-per-vector
+    // explode collapses before the exchange.
+    val p = planNoAutoBroadcast("llm_kmeans_update")
+    assert("SortMergeJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined,
+      s"q ⋈ cell must shuffle on vec_id, not broadcast:\n${p.take(3000)}")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isEmpty,
+      s"corpus-bound vec_id sides must never broadcast:\n${p.take(3000)}")
+    val aggs = p.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[c_id#") && l.contains("dim#"))
+      .size
+    assert(aggs >= 2,
+      s"expected partial+final (c_id, dim) aggregates:\n${p.take(3000)}")
+  }
+
   test("llm_dedup_semantic final assembly is one answer-bound broadcast") {
     // The loop's internals are pinned via the shared pieces (srp rep-pair
     // generation by the cosine_lsh pin; the label loop is the cluster
