@@ -116,7 +116,11 @@ object ScaleProbe {
     // corpus shuffle join (q ⋈ cell) and one linear (c_id, dim) agg on
     // top of the hier assignment, so the wall ratio should track the
     // hier rows' sub-linear curve.
-    "llm_kmeans_update")
+    "llm_kmeans_update",
+    // round 15: cluster-proximity sampling — the Lloyd update plus one
+    // broadcast-join scoring pass and WindowGroupLimit heaps; output is
+    // ncells×K rows (index-scale), wall should track llm_kmeans_update.
+    "llm_cluster_sample")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

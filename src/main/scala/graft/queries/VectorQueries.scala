@@ -880,6 +880,107 @@ object VectorQueries {
         FROM x GROUP BY c_id, dim
         ORDER BY c_id, dim""")),
 
+    // H (round 15): CLUSTER-PROXIMITY SAMPLING — the third leg of the
+    // SemDeDup-style trilogy (semantic dedup → quantized Lloyd update →
+    // THIS): per hier cell keep the K=8 vectors closest to the cell's
+    // quantized centroid (the "most central exemplars" selection that
+    // diversity pruning and prototype-set construction run after
+    // clustering). Distance is dist² to the centroid-update mean in the
+    // quantized domain, expressed as DotProduct(diff, diff) over the
+    // element-wise diff array — the one accumulation both engines are
+    // PROVEN to evaluate bit-identically (DotProduct ↔ list_dot_product,
+    // SURVEY §2.3), so the row stays hash-verifiable where an ad-hoc
+    // float fold might differ in summation order. Ties break on vec_id.
+    //
+    // Scale shape: the centroid table is ncells×64 — index-scale, built
+    // by one bounded aggregation and legitimately BROADCAST (the cents
+    // broadcast argument); the corpus side quantizes map-only, joins the
+    // broadcast centroids, and ranks with row_number ≤ K — planned as
+    // WindowGroupLimit heaps (pinned), so each partition keeps only its
+    // per-cell top-K before the exchange. One corpus shuffle for the
+    // cell assignment join (q ⋈ cell, pinned) + the window exchange.
+    Q(
+      "llm_cluster_sample",
+      (s, d) => {
+        val (e, _, cell, _) = hierIndex(s, d)
+        val q = e
+          .select(col("vec_id"), col("v"),
+            array_max(transform(col("v"), x => abs(x))).as("scale"))
+          .select(col("vec_id"),
+            when(col("scale") > 0,
+              transform(col("v"),
+                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+          // Consumed twice (centroid build + scoring pass) — persist so
+          // the two-level assignment and the quantization run ONCE;
+          // released by Cleanup like the other corpus-scale intermediates.
+          .join(cell, "vec_id")
+          .persist()
+        // Centroid-update means per cell, re-assembled into a dim-ordered
+        // array (struct sort on (dim, mean) — dim leads, so the order is
+        // exactly 0..63).
+        val cents = q
+          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
+          .groupBy(col("c_id"), col("dim"))
+          .agg((sum(col("qc")).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+          .groupBy(col("c_id"))
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+            p => p.getField("m")).as("cm"))
+        val rankW = Window.partitionBy(col("c_id"))
+          .orderBy(col("dist2").asc, col("vec_id"))
+        q.join(broadcast(cents), "c_id")
+          .select(col("c_id"), col("vec_id"),
+            VectorOps.dot(
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
+              .as("dist2"))
+          .withColumn("rk", row_number().over(rankW))
+          .where(col("rk") <= 8)
+          .select(col("c_id"), col("rk"), col("vec_id"), col("dist2"))
+          .orderBy(col("c_id"), col("rk"))
+      },
+      oracle = Some(s"""$hierCellsSql,
+        sc AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN sc.scale > 0
+                   THEN list_transform(e.v,
+                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM e JOIN sc USING (vec_id)),
+        x AS (
+          SELECT cell.c_id, qv.vec_id, r.i AS dim, qv.q[r.i + 1] AS qc
+          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i)),
+        cm AS (
+          SELECT c_id, dim,
+                 CAST(sum(qc) AS DOUBLE) / count(*) AS m
+          FROM x GROUP BY c_id, dim),
+        cma AS (
+          SELECT c_id, list(m ORDER BY dim) AS cm FROM cm GROUP BY c_id),
+        scored AS (
+          SELECT qv2.c_id, qv2.vec_id,
+                 list_dot_product(qv2.diff, qv2.diff) AS dist2
+          FROM (
+            SELECT cell.c_id, qv.vec_id,
+                   list_transform(range(1, 65),
+                     i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]) AS diff
+            FROM qv
+            JOIN cell USING (vec_id)
+            JOIN cma ON cma.c_id = cell.c_id) qv2),
+        ranked AS (
+          SELECT c_id, vec_id, dist2,
+                 row_number() OVER (PARTITION BY c_id
+                   ORDER BY dist2 ASC, vec_id) AS rk
+          FROM scored)
+        SELECT c_id, rk, vec_id, dist2 FROM ranked
+        WHERE rk <= 8
+        ORDER BY c_id, rk""")),
+
     // H: symmetric int8 quantization audit — the memory-scale lever every
     // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot
     // kernels): per vector, max-abs scaling to [-127, 127] with

@@ -491,6 +491,24 @@ class PlanAuditSpec extends GraftSpec {
       s"expected partial+final (c_id, dim) aggregates:\n${p.take(3000)}")
   }
 
+  test("llm_cluster_sample broadcasts only the centroid table; top-K pushes down") {
+    // The scale contract (VectorQueries comment): the centroid table is
+    // ncells×64 (index-scale), so its hinted broadcast must survive
+    // auto-broadcast-off; the corpus-bound q ⋈ cell join must SHUFFLE on
+    // vec_id; and the per-cell rk ≤ 8 must plan as WindowGroupLimit
+    // heaps so no cell's full member list survives to the sort.
+    val p = planNoAutoBroadcast("llm_cluster_sample")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[c_id#".r.findFirstIn(p).isDefined,
+      s"centroid attachment must be the hinted broadcast join:\n${p.take(3000)}")
+    assert("SortMergeJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined,
+      s"q ⋈ cell must shuffle on vec_id:\n${p.take(3000)}")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isEmpty,
+      s"corpus-bound vec_id sides must never broadcast:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= 8 must push down as WindowGroupLimit:\n${p.take(3000)}")
+  }
+
   test("llm_dedup_semantic final assembly is one answer-bound broadcast") {
     // The loop's internals are pinned via the shared pieces (srp rep-pair
     // generation by the cosine_lsh pin; the label loop is the cluster
