@@ -164,6 +164,7 @@ object ScaleProbe {
     run("agg_pricing_q1", baseDir); run("agg_pricing_q1", bigDir)
 
     var logs = List.empty[Double]
+    var flaggedQs = List.empty[String]
     val probes = toRun
     println(f"${"query"}%-22s ${"base_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  (factor $factor%.0f×)")
     probes.foreach { q =>
@@ -171,11 +172,29 @@ object ScaleProbe {
       val big = run(q, bigDir)
       val ratio = big / small
       logs ::= math.log(ratio)
-      val flag = if (ratio > factor * 1.5) "  <-- SUPER-LINEAR" else ""
+      val flag = if (ratio > factor * 1.5) { flaggedQs ::= q; "  <-- SUPER-LINEAR" }
+        else ""
       println(f"$q%-22s $small%8.2f $big%8.2f $ratio%7.2f$flag")
     }
     val geo = math.exp(logs.sum / logs.size)
     println(f"geomean ratio = $geo%.2f over ${probes.size} queries at $factor%.0f× data")
+    // Flag adjudication retry (round 15): a single in-sweep sample cannot
+    // distinguish a real super-linear plan from late-sweep session noise —
+    // the r15 full 30× sweep read llm_lang_id at 55× in-sweep vs 4.7×
+    // immediately re-run (sub-second base leg + 50 queries of accumulated
+    // JVM state). Each flagged query is re-measured once, after a GC, at
+    // the END of the sweep; a flag that survives the retry is CONFIRMED
+    // (go read the plan), one that collapses is TRANSIENT (session noise —
+    // the retry ratio is the claim). The headline geomean stays the
+    // first-pass value for round-over-round comparability.
+    flaggedQs.reverse.foreach { q =>
+      System.gc()
+      val small2 = run(q, baseDir)
+      val big2 = run(q, bigDir)
+      val r2 = big2 / small2
+      val verdict = if (r2 > factor * 1.5) "CONFIRMED" else "TRANSIENT"
+      println(f"retry $q%-16s $small2%8.2f $big2%8.2f $r2%7.2f  flag $verdict")
+    }
     spark.stop()
   }
 }
