@@ -102,14 +102,22 @@ object TextQueries {
       .join(df, "sid")
       .groupBy(col("rep_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
+    // Length filter rides both explodes (the PPJoin companion prune,
+    // exactness-preserving): cont(a→b) ≥ ½ forces |a∩b| ≥ ⌈|a|/2⌉ ≤ |b|,
+    // so any candidate with 2·|b| < |a| is provably below threshold and
+    // drops BEFORE the distinct. Prunes nothing on the uniform-length
+    // fixture; on real corpora it removes the long-doc→short-doc probe
+    // direction wholesale.
     val prefix = ranked
       .select(col("rep_id").as("a_rep"),
+        size(col("ranked")).as("a_len"),
         explode(expr("slice(ranked, 1, size(ranked) div 2 + 1)")).as("p"))
-      .select(col("a_rep"), col("p.sid").as("sid"))
+      .select(col("a_rep"), col("a_len"), col("p.sid").as("sid"))
     val index = reps.select(col("rep_id").as("b_rep"),
-      explode(col("sids")).as("sid"))
+      size(col("sids")).as("b_len"), explode(col("sids")).as("sid"))
     val cand = prefix.join(index, "sid")
-      .where(col("a_rep") =!= col("b_rep"))
+      .where(col("a_rep") =!= col("b_rep") &&
+        col("b_len") * 2 >= col("a_len"))
       .select(col("a_rep"), col("b_rep"))
       .distinct()
     val ga = reps.select(col("rep_id").as("a_rep"), col("sids").as("a_s"))
