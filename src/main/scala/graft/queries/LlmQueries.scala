@@ -223,13 +223,18 @@ object LlmQueries {
         pmod(xxhash64(col("doc_id")), lit(MemberChunks)).as("chunk"))
       .agg(min(col("doc_id")).as("cmin"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("rep_id", min(col("cmin")).over(w))
-      // Group size over the same window (one window operator computes
-      // both): lets consumers restrict member re-attachment to multi-member
-      // groups — singletons dominate real corpora and contribute no intra
-      // pairs, so filtering on gsize > 1 is what keeps the intra-pair
-      // broadcast answer-bound instead of corpus-bound (round-7 ADVICE).
-      .withColumn("gsize", sum(size(col("members"))).over(w))
+      // Group rep + size over ONE window projection: chained withColumns
+      // left TWO Window operators in the physical plan (CollapseWindow
+      // can't see through the extracted _w0 Project between them —
+      // observed in the r15 plan dumps), i.e. two corpus-scale passes
+      // where one suffices; a single select extracts both expressions
+      // into one Window node (pinned). gsize lets consumers restrict
+      // member re-attachment to multi-member groups — singletons dominate
+      // real corpora and contribute no intra pairs, so filtering on
+      // gsize > 1 is what keeps the intra-pair broadcast answer-bound
+      // instead of corpus-bound (round-7 ADVICE).
+      .select(col("*"), min(col("cmin")).over(w).as("rep_id"),
+        sum(size(col("members"))).over(w).as("gsize"))
       .persist()
     // reps: exactly one row per distinct token set (the chunk holding the
     // group minimum — chunks partition the members, so only one chunk's

@@ -91,8 +91,10 @@ object TextQueries {
         pmod(xxhash64(col("doc_id")), lit(LlmQueries.MemberChunks)).as("chunk"))
       .agg(min(col("doc_id")).as("cmin"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("rep_id", min(col("cmin")).over(w))
-      .withColumn("gsize", sum(size(col("members"))).over(w))
+      // One window projection for rep + size (the lshRepGraph fuse — two
+      // chained withColumns plan as two Window passes).
+      .select(col("*"), min(col("cmin")).over(w).as("rep_id"),
+        sum(size(col("members"))).over(w).as("gsize"))
       .persist()
     val reps = chunks.where(col("cmin") === col("rep_id"))
       .select(col("rep_id"), col("sids"))

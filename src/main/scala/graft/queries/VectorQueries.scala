@@ -381,8 +381,10 @@ object VectorQueries {
         pmod(xxhash64(col("vec_id")), lit(LlmQueries.MemberChunks)).as("chunk"))
       .agg(min(col("vec_id")).as("cmin"),
         sort_array(collect_list(col("vec_id"))).as("members"))
-      .withColumn("rep_id", min(col("cmin")).over(w))
-      .withColumn("gsize", sum(size(col("members"))).over(w))
+      // One window projection for rep + size (the lshRepGraph fuse — two
+      // chained withColumns plan as two Window passes).
+      .select(col("*"), min(col("cmin")).over(w).as("rep_id"),
+        sum(size(col("members"))).over(w).as("gsize"))
       .persist()
     // Exactly one row per distinct vector (the chunk holding the group min).
     val reps = chunks.where(col("cmin") === col("rep_id"))
