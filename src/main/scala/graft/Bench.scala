@@ -153,21 +153,25 @@ object Bench {
       private val Len = 64 * 1024 * 1024
       private lazy val src = new Array[Byte](Len)
       private lazy val dst = new Array[Byte](Len)
-      @volatile private var running = false
-      // Each start() hands ITS OWN buffer to the worker closure (round-15
-      // ADVICE: a field-shared list let a stale thread that outlived its
-      // join(2000) keep appending into the NEXT sample's series); a stale
-      // thread can then only ever write into its own dead buffer.
+      // Each start() hands ITS OWN buffer AND ITS OWN stop flag to the
+      // worker closure (round-15 ADVICE ×2: a field-shared list let a
+      // stale thread that outlived its join(2000) keep appending into the
+      // NEXT sample's series, and a field-shared @volatile running let the
+      // next start() re-arm a zombie worker that never observed false —
+      // two copy loops inside one timed region). A stale thread now only
+      // ever reads its own dead flag and writes its own dead buffer.
       private var worker: Thread = _
+      private var stopFlag: java.util.concurrent.atomic.AtomicBoolean = _
       private var current: java.util.concurrent.ConcurrentLinkedQueue[Double] = _
       def start(): Unit = {
         val rates = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val run = new java.util.concurrent.atomic.AtomicBoolean(true)
         current = rates
-        running = true
+        stopFlag = run
         worker = new Thread(() => {
           var winBytes = 0L
           var winT0 = System.nanoTime()
-          while (running) {
+          while (run.get()) {
             System.arraycopy(src, 0, dst, 0, Len)
             src(0) = (dst(0) + 1).toByte
             winBytes += 2L * Len
@@ -188,13 +192,14 @@ object Bench {
         worker.start()
       }
       def stop(): Seq[Double] = {
-        running = false
+        if (stopFlag != null) stopFlag.set(false)
         if (worker != null) worker.join(2000)
-        // A worker still alive after the bounded join is a measurement
-        // hazard, not evidence (round-15 ADVICE): it may still be mid-copy
-        // — discard the sample's series (absence = not-measured, the
-        // established sample_meta signal) rather than emit a half-window.
-        if (worker != null && worker.isAlive) Nil
+        // No prior start(), or a worker still alive after the bounded
+        // join, is a measurement hazard, not evidence (round-15 ADVICE):
+        // an alive worker may still be mid-copy — discard the sample's
+        // series (absence = not-measured, the established sample_meta
+        // signal) rather than emit a half-window or NPE on `current`.
+        if (worker == null || worker.isAlive) Nil
         else {
           import scala.jdk.CollectionConverters._
           current.iterator().asScala.toSeq

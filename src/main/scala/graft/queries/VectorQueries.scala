@@ -737,7 +737,7 @@ object VectorQueries {
           FROM e CROSS JOIN h CROSS JOIN s),
         sig AS (
           SELECT vec_id, j // bb AS band_idx,
-                 CAST(sum(bit * (1 << (j % bb))) AS BIGINT) AS band_val
+                 CAST(sum(bit * ((1::BIGINT) << (j % bb))) AS BIGINT) AS band_val
           FROM bits GROUP BY vec_id, j // bb),
         cand AS (
           SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
