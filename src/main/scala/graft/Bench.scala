@@ -98,11 +98,19 @@ object Bench {
     // label-propagation loop is localCheckpoint-heavy like the cluster
     // row, so it inherits the same window sensitivity — flag it from its
     // first round rather than after its first unexplained swing.
+    // llm_containment_prefix and llm_neardup_cosine_lsh joined in round 17
+    // (r16 verdict #3): both are persist + rep-graph block-manager-heavy,
+    // and the r16 driver run's two largest unexplained swings (containment
+    // 7.8 → 11.9 s, cosine_lsh at 5.0 s) carried no per-sample bracket, so
+    // their inflation had to be adjudicated by family signature instead of
+    // their own bw/bw_after + hb forensics. Five flagged rows total; each
+    // flagged sample costs two ~1.7 s probes plus one heartbeat thread.
     val membwQueries: Set[String] =
       sys.env.get("SPARK_GRAFT_MEMBW_QUERIES") match {
         case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSet
         case None =>
-          Set("llm_neardup_minhash", "llm_dedup_cluster", "llm_dedup_semantic")
+          Set("llm_neardup_minhash", "llm_dedup_cluster", "llm_dedup_semantic",
+            "llm_containment_prefix", "llm_neardup_cosine_lsh")
       }
     // Shared spawn-and-parse scaffold for BOTH probe channels (round-12
     // review: the per-sample path duplicated probe()'s subprocess code, and
@@ -153,13 +161,20 @@ object Bench {
       private val Len = 64 * 1024 * 1024
       private lazy val src = new Array[Byte](Len)
       private lazy val dst = new Array[Byte](Len)
-      // Each start() hands ITS OWN buffer AND ITS OWN stop flag to the
-      // worker closure (round-15 ADVICE ×2: a field-shared list let a
+      // Each start() hands ITS OWN series queue AND ITS OWN stop flag to
+      // the worker closure (round-15 ADVICE ×2: a field-shared list let a
       // stale thread that outlived its join(2000) keep appending into the
       // NEXT sample's series, and a field-shared @volatile running let the
       // next start() re-arm a zombie worker that never observed false —
       // two copy loops inside one timed region). A stale thread now only
-      // ever reads its own dead flag and writes its own dead buffer.
+      // ever reads its own dead flag and appends to its own dead queue, so
+      // measurements cannot be corrupted. The 64 MiB src/dst copy buffers
+      // stay shared fields (round-16 ADVICE: per-start allocation would
+      // cost 128 MiB churn per flagged sample), so a zombie that survives
+      // join(2000) can still run at most its final in-flight copy
+      // iterations concurrently with the next sample's worker — a bounded
+      // memory-traffic overlap, not a series corruption, and the sample
+      // whose worker went zombie already discarded its series below.
       private var worker: Thread = _
       private var stopFlag: java.util.concurrent.atomic.AtomicBoolean = _
       private var current: java.util.concurrent.ConcurrentLinkedQueue[Double] = _
@@ -199,11 +214,19 @@ object Bench {
         // an alive worker may still be mid-copy — discard the sample's
         // series (absence = not-measured, the established sample_meta
         // signal) rather than emit a half-window or NPE on `current`.
-        if (worker == null || worker.isAlive) Nil
-        else {
-          import scala.jdk.CollectionConverters._
-          current.iterator().asScala.toSeq
-        }
+        val out =
+          if (worker == null || worker.isAlive) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            current.iterator().asScala.toSeq
+          }
+        // Reset the handoff fields after every read (round-16 ADVICE): an
+        // unpaired second stop() must return Nil (not-measured), not
+        // replay the previous sample's series as if freshly measured.
+        worker = null
+        stopFlag = null
+        current = null
+        out
       }
     }
     def time(q: Q): Sample = {
