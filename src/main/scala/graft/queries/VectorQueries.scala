@@ -91,7 +91,27 @@ object VectorQueries {
     * slightly (a vector near a super-cell boundary can land in a different
     * cell), which is the standard IVF trade and is floor-pinned in
     * AnnRecallSpec like the others.
+    *
+    * MULTI-PROBE routing (round 18, r16 verdict #4): the recall the
+    * two-level assignment gives up is entirely boundary loss — a vector
+    * whose globally-best centroid maps to super-cell s* but whose own
+    * top-1 super is some other s gets argmax'd over the wrong centroid
+    * subset. The standard multi-probe fix routes each vector through its
+    * top-`HierSupProbe` SUPER-cells (a literal, so the DuckDB replay is
+    * `rn <= P` instead of `rn = 1`) and argmaxes over the union of those
+    * supers' centroids: the boundary vector now sees s* whenever it ranks
+    * in its top P. Cost is P·√ncells centroid dots per vector —
+    * O(N·P·N^(1/4)), the same complexity class with a constant factor,
+    * measured sub-linear in the 10×/30× probes like the single-probe
+    * form. The top-P selection aggregates as a bounded
+    * collect_list(struct) (the broadcast nested-loop join emits each
+    * vector's N^(1/4) super rows contiguously, so the partial agg
+    * collapses to ONE row per vector before the exchange — same
+    * one-row-per-vector shuffle as the max_by it replaces), sorted
+    * descending on (dot, -s_id): dot-DESC-then-id, the family tiebreak,
+    * with the negation on the exact BIGINT id, never the double.
     */
+  private[graft] val HierSupProbe = 4
   private def hierIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val e = vecs(s, d).persist()
@@ -112,17 +132,22 @@ object VectorQueries {
         struct(VectorOps.dot(col("cv"), col("sv")).as("d_cs"),
           (-col("s_id")).as("t_cs"))).as("s_id"),
         first(col("cv")).as("cv")) // all rows of a c_id carry the same cv
-    // vector → super-cell: the N·N^(1/4) pass. `first(v)` is
-    // value-deterministic (every duplicate of a vec_id carries the same v)
-    // and rides the map-side partial agg, so the shuffle stays one row per
-    // vector.
+    // vector → its top-HierSupProbe super-cells: the N·N^(1/4) pass.
+    // `first(v)` is value-deterministic (every duplicate of a vec_id
+    // carries the same v) and rides the map-side partial agg, so the
+    // shuffle stays one row per vector; the explode then fans each vector
+    // out to its ≤P routed supers (see the multi-probe doc above).
     val v2s = e.crossJoin(broadcast(sups))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("s_id"),
-        struct(VectorOps.dot(col("v"), col("sv")).as("d_vs"),
-          (-col("s_id")).as("t_vs"))).as("s_id"),
+      .agg(slice(sort_array(collect_list(struct(
+          VectorOps.dot(col("v"), col("sv")).as("d_vs"),
+          (-col("s_id")).as("t_vs"))), asc = false), 1, HierSupProbe)
+          .as("top"),
         first(col("v")).as("v"))
-    // vector → cell: score only the ≈√ncells centroids of its super-cell.
+      .select(col("vec_id"), col("v"),
+        explode(col("top")).as("t"))
+      .select(col("vec_id"), col("v"), (-col("t.t_vs")).as("s_id"))
+    // vector → cell: score only the centroids of its routed super-cells.
     val cell = v2s.join(broadcast(c2s), Seq("s_id"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_id"),
@@ -264,7 +289,7 @@ object VectorQueries {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_dot_product(e.v, sup.sv) DESC, sup.s_id) AS rn
           FROM e CROSS JOIN sup),
-        v2s AS (SELECT vec_id, s_id FROM v2s_r WHERE rn = 1),
+        v2s AS (SELECT vec_id, s_id FROM v2s_r WHERE rn <= $HierSupProbe),
         cell_r AS (
           SELECT v2s.vec_id, m.c_id,
                  row_number() OVER (PARTITION BY v2s.vec_id

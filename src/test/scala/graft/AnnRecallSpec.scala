@@ -54,10 +54,15 @@ class AnnRecallSpec extends GraftSpec {
       info(f"recall@3 = $recall%.3f ($hits/$total) at $sf")
       // With √N cells and nprobe ≈ ncells/4, the probed fraction is ~25%;
       // on THIS corpus (near-random vectors, no cluster structure) recall
-      // can't rise much above that fraction — measured 0.49–0.56. The
-      // floor guards candidate-generation regressions; on clustered real
-      // embeddings IVF recall at the same nprobe is far higher.
-      assert(recall >= 0.40, f"recall@3 $recall%.3f below regression floor")
+      // can't rise much above that fraction — measured 0.49–0.58 flat.
+      // The round-18 multi-probe routing (HierSupProbe = 4 super-cells
+      // per vector) closed the hier rows' boundary-loss gap: measured
+      // 0.467–0.560 (was 0.42–0.47 single-probe), llm_knn_hier at parity
+      // with flat at sf0.01. Floor raised 0.40 → 0.44 (margin under the
+      // 0.467 measured min); it guards candidate-generation regressions —
+      // on clustered real embeddings IVF recall at the same nprobe is far
+      // higher.
+      assert(recall >= 0.44, f"recall@3 $recall%.3f below regression floor")
     }
   }
 
