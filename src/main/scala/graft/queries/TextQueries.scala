@@ -100,28 +100,70 @@ object TextQueries {
       .select(col("rep_id"), col("sids"))
     val df = reps.select(explode(col("sids")).as("sid"))
       .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    // Persisted since round 18: the positional filter below consumes the
+    // rarity-ranked lists from BOTH join sides (prefix slice + full
+    // index), and without the persist each side re-runs the df join +
+    // collect_list aggregation. Rep-scale rows (one per rep), released by
+    // Cleanup with the other corpus intermediates.
     val ranked = reps.select(col("rep_id"), explode(col("sids")).as("sid"))
       .join(df, "sid")
       .groupBy(col("rep_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
+      .persist()
     // Length filter rides both explodes (the PPJoin companion prune,
     // exactness-preserving): cont(a→b) ≥ ½ forces |a∩b| ≥ ⌈|a|/2⌉ ≤ |b|,
     // so any candidate with 2·|b| < |a| is provably below threshold and
     // drops BEFORE the distinct. Prunes nothing on the uniform-length
     // fixture; on real corpora it removes the long-doc→short-doc probe
     // direction wholesale.
+    //
+    // POSITIONAL filter (round 18, r16 verdict #2 — the PPJoin prune
+    // proper, exactness-preserving like the length prune): both explodes
+    // carry each shingle's 1-based POSITION in the record's global
+    // rarity order ((df, sid) ascending — the same total order on both
+    // sides, which is what makes the bound sound). For a candidate pair,
+    // the minimal matched a_pos is the globally-FIRST common shingle:
+    // a's prefix is downward-closed in that order, so if the first
+    // common shingle sat beyond the prefix, NO prefix entry could match
+    // and the pair would never have joined. Every common shingle then
+    // sits at position ≥ a_pos in a and ≥ b_pos in b, so
+    // |a∩b| ≤ min(a_len − a_pos, b_len − b_pos) + 1; a pair whose bound
+    // already misses t = ⌈a_len/2⌉ (integer form: 2·bound < a_len) is
+    // provably below threshold and drops BEFORE the verify join ships
+    // both full shingle arrays. The distinct becomes a same-shuffle
+    // min-struct aggregation (map-side partials; a_len/b_len are
+    // functionally dependent grouping keys, carried not recomputed).
+    // On the fixture's hot 31-token vocabulary this prunes ~28% of
+    // candidates [MEASURED sf0.1: 919k → 659k]; on a zipfian corpus the
+    // rare-first positions spread further and the filter bites harder.
     val prefix = ranked
       .select(col("rep_id").as("a_rep"),
         size(col("ranked")).as("a_len"),
-        explode(expr("slice(ranked, 1, size(ranked) div 2 + 1)")).as("p"))
-      .select(col("a_rep"), col("a_len"), col("p.sid").as("sid"))
-    val index = reps.select(col("rep_id").as("b_rep"),
-      size(col("sids")).as("b_len"), explode(col("sids")).as("sid"))
+        posexplode(expr("slice(ranked, 1, size(ranked) div 2 + 1)"))
+          .as(Seq("ai", "p")))
+      .select(col("a_rep"), col("a_len"), (col("ai") + 1).as("a_pos"),
+        col("p.sid").as("sid"))
+    val index = ranked
+      .select(col("rep_id").as("b_rep"),
+        size(col("ranked")).as("b_len"),
+        posexplode(col("ranked")).as(Seq("bi", "p")))
+      .select(col("b_rep"), col("b_len"), (col("bi") + 1).as("b_pos"),
+        col("p.sid").as("sid"))
+    // (a_pos, b_pos) of the first-common-shingle match ride the
+    // aggregation as ONE packed BIGINT (a_pos · 2³¹ + b_pos, both
+    // positive ints) so the min stays a codegen-native long min —
+    // min(struct(...)) plans an interpreted ordering on every joined row,
+    // measured ~25% slower on this stage's tens-of-millions join output.
     val cand = prefix.join(index, "sid")
       .where(col("a_rep") =!= col("b_rep") &&
         col("b_len") * 2 >= col("a_len"))
+      .groupBy(col("a_rep"), col("b_rep"), col("a_len"), col("b_len"))
+      .agg(min(col("a_pos").cast("bigint") * lit(2147483648L)
+        + col("b_pos")).as("m"))
+      .where((least(col("a_len") - shiftright(col("m"), 31),
+        col("b_len") - col("m").bitwiseAND(lit(2147483647L))) + 1) * 2
+        >= col("a_len"))
       .select(col("a_rep"), col("b_rep"))
-      .distinct()
     val ga = reps.select(col("rep_id").as("a_rep"), col("sids").as("a_s"))
     val gb = reps.select(col("rep_id").as("b_rep"), col("sids").as("b_s"))
     val inter = graft.functions.VectorOps
