@@ -154,7 +154,8 @@ object Bench {
     // hb series craters mid-run versus its siblings is convicted as a
     // host-window artifact; one that holds level falsifies the membw
     // explanation. Costs one of 32 threads during flagged samples only —
-    // a uniform measurement tax on those two queries from round 14 on.
+    // a uniform measurement tax on the membwQueries rows (five as of
+    // round 17; see the flagged-set comment above).
     // The src(0) write-back creates a loop-carried dependency so the JIT
     // cannot elide the copy; buffers are allocated once and reused.
     object Heartbeat {

@@ -120,7 +120,11 @@ object ScaleProbe {
     // round 15: cluster-proximity sampling — the Lloyd update plus one
     // broadcast-join scoring pass and WindowGroupLimit heaps; output is
     // ncells×K rows (index-scale), wall should track llm_kmeans_update.
-    "llm_cluster_sample")
+    "llm_cluster_sample",
+    // round 18: the composed curation pipeline — one dedup hash exchange
+    // plus stacked per-row lambdas (pinned), output one row per doc, so
+    // the wall ratio checks the single-shuffle claim directly.
+    "llm_pipeline_curate")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -68,6 +68,16 @@ object TextQueries {
   /** llm_tfidf_topk literal: keywords kept per document. */
   private val TfidfTopK = 3
 
+  /** llm_pipeline_curate literal (interpolated on both engines, DfCap
+    * precedent): minimum composite quality (llm_quality_score's exact
+    * formula, computed on the SCRUBBED text) a doc must reach to survive
+    * the quality stage. 0.60 sits at the ~p8 of the sf0.01 scrubbed
+    * quality distribution [MEASURED: p5 0.593, p10 0.608, median 0.645] —
+    * the filter drops a low-quality minority, the production tuning, while
+    * both branches stay hot at the driver gate.
+    */
+  private val CurateQualityMin = 0.60
+
   /** Stages 1–5 of the full-corpus prefix-filter containment pipeline
     * (see llm_containment_prefix for the per-stage scale rationale):
     * returns (chunks, verified) in the lshRepGraph/srpRepGraph contract —
@@ -1556,5 +1566,174 @@ object TextQueries {
         SELECT doc_id, top_tok_frac, top_bigram_frac, distinct_ratio,
                (top_bigram_frac > 0.08 OR top_tok_frac > 0.12) AS repetitive
         FROM m
+        ORDER BY doc_id""")),
+
+    // H (round 18, r16 verdict #5): END-TO-END CURATION PIPELINE — the
+    // composition a real training run executes, as ONE declared query:
+    // normalized dedup → PII scrub → quality + repetition keep-flags →
+    // stratified sampling, emitting per-doc final keep/drop with FIRST-
+    // FAILING-STAGE attribution (the number a curation run reports per
+    // stage: how much each filter cost). Every stage is the corresponding
+    // declared row's EXACT semantics, re-stated inline over one scan:
+    //   dedup      — llm_dedup_norm's first-8-lowercased-tokens key; a doc
+    //                survives iff it is the min doc_id of its key group;
+    //   pii        — llm_pii_scrub's ordered email→IP→SSN→phone chain on
+    //                the ORIGINAL text; n_pii is the per-category counts
+    //                summed, and every downstream text stage reads the
+    //                SCRUBBED text (the production ordering: filters see
+    //                what training would see);
+    //   quality    — llm_quality_score's composite on the scrubbed
+    //                tokens, kept iff ≥ CurateQualityMin (token-less and
+    //                NULL-text docs fail here: no tokens, no score);
+    //   repetition — llm_repetition's Gopher-style top-fraction flags on
+    //                the scrubbed tokens (docs under 2 tokens are not
+    //                repetitive by definition — nothing to repeat);
+    //   sample     — llm_sample_stratified's salted-md5 per-lang rate
+    //                predicate, same salt, so the composed row's sample
+    //                stage selects EXACTLY the stratified row's doc set.
+    // Attribution order is the execution order (dedup, quality,
+    // repetition, sample; pii never drops), all five values live at the
+    // driver gate [MEASURED sf0.01: 24/32/74/238 dropped, 132 kept].
+    //
+    // Scale shape (the realistic multi-stage plan, pinned): ONE corpus
+    // scan feeds the whole pipeline; the dedup verdict is a min-over-key
+    // window — the single corpus-scale Exchange — and the scrub, token
+    // metrics, and sample predicate are per-row lambdas stacked on the
+    // same pass, so the full pipeline shuffles the corpus ONCE (plus the
+    // oracle-ordering sort, which exists for the stable driver hash
+    // only). At 100 TB: one hash exchange on the dedup key, zero joins,
+    // zero broadcasts.
+    Q(
+      "llm_pipeline_curate",
+      (s, d) => {
+        def topFrac(arr: Column): Column =
+          array_max(transform(array_distinct(arr),
+            u => size(filter(arr, x => x === u)))).cast("double") / size(arr)
+        val bgs = transform(expr("sequence(1, size(toks) - 1)"),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + lit(1))))
+        val n = size(col("toks")).cast("double")
+        val types = size(array_distinct(col("toks"))).cast("double")
+        val stops = size(filter(col("toks"),
+          x => x.isin("the", "a"))).cast("double")
+        val skey = conv(substring(md5(
+            concat(lit("graft-sample-v1:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        val u = skey.cast("double") / lit(1152921504606846976L) // 2^60
+        val rate = when(col("lang") === "en", 0.5).otherwise(0.2)
+        val wKey = Window.partitionBy(col("key"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            LlmQueries.normKey(col("text")).as("key"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            (col("doc_id") === min(col("doc_id")).over(wKey)).as("dedup_keep"))
+          .withColumn("n_email",
+            size(regexp_extract_all(col("text"), lit(EmailP), lit(0))).cast("bigint"))
+          .withColumn("t1", regexp_replace(col("text"), EmailP, "[EMAIL]"))
+          .withColumn("n_ip",
+            size(regexp_extract_all(col("t1"), lit(IpP), lit(0))).cast("bigint"))
+          .withColumn("t2", regexp_replace(col("t1"), IpP, "[IP]"))
+          .withColumn("n_ssn",
+            size(regexp_extract_all(col("t2"), lit(SsnP), lit(0))).cast("bigint"))
+          .withColumn("t3", regexp_replace(col("t2"), SsnP, "[SSN]"))
+          .withColumn("n_phone",
+            size(regexp_extract_all(col("t3"), lit(PhoneP), lit(0))).cast("bigint"))
+          .withColumn("toks",
+            toksAll(regexp_replace(col("t3"), PhoneP, "$1[PHONE]")))
+          .withColumn("n_pii",
+            col("n_email") + col("n_ip") + col("n_ssn") + col("n_phone"))
+          .withColumn("quality",
+            when(size(col("toks")) > 0,
+              (types / n) * 0.4 + (lit(1.0) - stops / n) * 0.3 +
+                least(n / 100.0, lit(1.0)) * 0.3))
+          // Guarded: sequence(1, size-1) with size < 2 would step DOWN
+          // through index 0 (element_at errors at 0); the repetitive
+          // branch below never reads bgs for those docs, but the column
+          // itself must not evaluate the explode-free bigram lambda on
+          // them either.
+          .withColumn("bgs", when(size(col("toks")) >= 2, bgs))
+          .withColumn("repetitive",
+            when(size(col("toks")) < 2, lit(false))
+              .otherwise(topFrac(col("bgs")) > 0.08 ||
+                topFrac(col("toks")) > 0.12))
+          .withColumn("sample_keep", u < rate)
+          .select(col("doc_id"),
+            when(!col("dedup_keep"), lit("dedup"))
+              .when(col("quality").isNull ||
+                col("quality") < CurateQualityMin, lit("quality"))
+              .when(col("repetitive"), lit("repetition"))
+              .when(!col("sample_keep"), lit("sample"))
+              .otherwise(lit("kept")).as("drop_stage"),
+            col("n_pii"), col("quality"))
+          .withColumn("keep", col("drop_stage") === "kept")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH nk AS (
+          SELECT doc_id, lang, text,
+                 ${LlmQueries.normKeyDuckOn("text")} AS key
+          FROM documents),
+        dd AS (
+          SELECT doc_id, lang, text,
+                 doc_id = min(doc_id) OVER (PARTITION BY key) AS dedup_keep
+          FROM nk),
+        p1 AS (
+          SELECT *, CAST(len(regexp_extract_all(text, '$EmailP')) AS BIGINT) AS n_email,
+                 regexp_replace(text, '$EmailP', '[EMAIL]', 'g') AS t1
+          FROM dd),
+        p2 AS (
+          SELECT *, CAST(len(regexp_extract_all(t1, '$IpP')) AS BIGINT) AS n_ip,
+                 regexp_replace(t1, '$IpP', '[IP]', 'g') AS t2
+          FROM p1),
+        p3 AS (
+          SELECT *, CAST(len(regexp_extract_all(t2, '$SsnP')) AS BIGINT) AS n_ssn,
+                 regexp_replace(t2, '$SsnP', '[SSN]', 'g') AS t3
+          FROM p2),
+        p4 AS (
+          SELECT doc_id, lang, dedup_keep, n_email, n_ip, n_ssn,
+                 CAST(len(regexp_extract_all(t3, '$PhoneP')) AS BIGINT) AS n_phone,
+                 list_filter(string_split(
+                   regexp_replace(t3, '$PhoneP', '\\1[PHONE]', 'g'), ' '),
+                   x -> x <> '') AS toks
+          FROM p3),
+        m AS (
+          SELECT doc_id, lang, dedup_keep,
+                 n_email + n_ip + n_ssn + n_phone AS n_pii,
+                 CASE WHEN len(toks) > 0 THEN
+                   (CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) * 0.4
+                   + (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) * 0.3
+                   + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+                 END AS quality,
+                 CASE WHEN len(toks) < 2 THEN FALSE ELSE
+                   (CAST(list_max(list_transform(list_distinct(
+                      list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])),
+                      u -> len(list_filter(
+                        list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]),
+                        x -> x = u)))) AS DOUBLE)
+                      / (len(toks) - 1) > 0.08
+                    OR CAST(list_max(list_transform(list_distinct(toks),
+                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                      / len(toks) > 0.12) END AS repetitive
+          FROM p4),
+        f AS (
+          SELECT doc_id, n_pii, quality,
+                 CASE WHEN NOT dedup_keep THEN 'dedup'
+                      WHEN quality IS NULL OR quality < $CurateQualityMin
+                        THEN 'quality'
+                      WHEN repetitive THEN 'repetition'
+                      WHEN NOT (('0x' || substr(md5('graft-sample-v1:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          / 1152921504606846976.0
+                          < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END))
+                        THEN 'sample'
+                      ELSE 'kept' END AS drop_stage
+          FROM m)
+        SELECT doc_id, drop_stage, n_pii, quality,
+               drop_stage = 'kept' AS keep
+        FROM f
         ORDER BY doc_id""")))
 }

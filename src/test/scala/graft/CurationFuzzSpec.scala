@@ -58,6 +58,14 @@ class CurationFuzzSpec extends GraftSpec {
     // DF cap genuinely bites on this corpus (unlike the driver's sf0.01,
     // where it is output-neutral).
     "llm_contamination_capped",
+    // Composed curation pipeline: the one row that threads EVERY curation
+    // surface (norm-key dedup, PII scrub, quality/repetition lambdas,
+    // sample predicate) through the adversarial inputs at once — NULL
+    // text keys to '' and must attribute 'quality' (no tokens, no
+    // score) in both engines, one-token docs must be non-repetitive
+    // without evaluating the bigram lambda, empty-split fragments must
+    // not shift the dedup key.
+    "llm_pipeline_curate",
     // Near-dup family (round-8 verdict #4): same tokenize/md5/list
     // adversarial surface as the rows above, plus the 0/0-Jaccard edge
     // (two empty token sets) and token-less docs vanishing from the

@@ -220,6 +220,23 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("llm_pipeline_curate: one corpus scan, one dedup exchange, no joins") {
+    // The composed curation pipeline's 100 TB claim: the dedup verdict's
+    // hash exchange on the normalized key is the ONLY corpus-scale
+    // shuffle; scrub/quality/repetition/sample stack as per-row lambdas
+    // on the same scan (plus the oracle-ordering range exchange), and no
+    // stage joins or broadcasts anything.
+    val p = plan("llm_pipeline_curate")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.size == 2 &&
+      exchanges.count(_.contains("hashpartitioning")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      s"expected exactly one dedup hash exchange + the output sort, got:\n${exchanges.mkString("\n")}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      "pipeline must read the corpus once")
+    assert(!p.contains("Join"), s"no stage may join:\n${p.take(1500)}")
+  }
+
   test("real-decode rows run the decode expression exactly once per row") {
     // CollapseProject substituting the feature array into its 7-8 getItem
     // consumers would run the full ImageIO / javax.sound decode that many
