@@ -124,7 +124,18 @@ object ScaleProbe {
     // round 18: the composed curation pipeline — one dedup hash exchange
     // plus stacked per-row lambdas (pinned), output one row per doc, so
     // the wall ratio checks the single-shuffle claim directly.
-    "llm_pipeline_curate")
+    "llm_pipeline_curate",
+    // round 18: the τ-sweep emits 3 index-scale SUMMARY rows derived
+    // arithmetically from the verified rep pairs — and the staged clones
+    // do NOT add reps (identical text collapses in stage 1), so unlike
+    // the pair-LIST rows its wall ratio IS informative: it checks that
+    // the r=2-banded candidate/verify stages stay rep-bound and the
+    // grouping stage stays linear.
+    "llm_minhash_tau_sweep",
+    // round 18: diversity pruning — one row per vector out (the keep-list
+    // contract), same index stages as llm_kmeans_update; the wall ratio
+    // checks the single-window + index-broadcast claim.
+    "llm_diversity_prune")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -187,7 +187,24 @@ object LlmQueries {
     *              (a_rep, b_rep, jac) — member-free, so the verify
     *              broadcast carries only token ids, never doc lists.
     */
-  private[graft] def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def lshRepGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    lshRepGraphAt(s, d, tau = 0.8, rowsPerBand = MinHash.RowsPerBand)
+
+  /** The same stages 1–5 with the verify threshold and the banding row
+    * width as parameters (round 18, r17 verdict #5): production dedup
+    * TUNES τ, and the banding must be sized for the LOWEST τ swept —
+    * rowsPerBand=r gives per-pair miss probability (1-j^r)^(k/r), so the
+    * default r=4/b=32 index (miss 5e-8 at j=0.8) is NOT a recall-1
+    * candidate generator at τ=0.5 (miss 0.127), while r=2/b=64 over the
+    * SAME k=128 signatures is (miss 0.75^64 ≈ 1e-8 at j=0.5). Candidate
+    * volume rises with the flatter S-curve — that is the τ-range/cost
+    * trade the sweep row exists to report. All callers share the stage-1
+    * chunks cache (CacheManager dedupes by plan); sigs/bands differ per
+    * rowsPerBand and are not shared across indexes.
+    */
+  private[graft] def lshRepGraphAt(s: SparkSession, d: String, tau: Double,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val numBands = MinHash.NumHashes / rowsPerBand
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         sort_array(array_distinct(
@@ -251,12 +268,12 @@ object LlmQueries {
     // 3. banding
     val bands = sigs
       .select(col("rep_id"),
-        explode(expr(s"sequence(0, ${MinHash.NumBands - 1})")).as("band"),
+        explode(expr(s"sequence(0, ${numBands - 1})")).as("band"),
         col("sig"))
       .select(col("rep_id"), col("band"),
         xxhash64(col("band"),
-          expr(s"slice(sig, band * ${MinHash.RowsPerBand} + 1, " +
-            s"${MinHash.RowsPerBand})")).as("bh"))
+          expr(s"slice(sig, band * $rowsPerBand + 1, " +
+            s"$rowsPerBand)")).as("bh"))
     val buckets = bands
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("rep_id"))).as("ids"))
@@ -304,7 +321,7 @@ object LlmQueries {
       .select(col("a_rep"), col("b_rep"),
         (inter.cast("double") /
           (size(col("a_t")) + size(col("b_t")) - inter).cast("double")).as("jac"))
-      .where(col("jac") >= 0.8)
+      .where(col("jac") >= tau)
     (chunks, verified)
   }
 
@@ -630,6 +647,133 @@ object LlmQueries {
         SELECT a_id, b_id, jac FROM p
         WHERE jac >= 0.8
         ORDER BY a_id, b_id""")),
+
+    // H (round 18, r17 verdict #5): MinHash τ-SWEEP — the threshold-tuning
+    // report a production dedup run reads before committing to a τ: for
+    // each τ ∈ {0.5, 0.7, 0.9}, how many near-dup pairs exist and how much
+    // of the corpus is touched. Output is 3 SUMMARY rows (answer-bound —
+    // index-scale at any corpus size), NOT a tripled pair list: doc-pair
+    // counts are derived arithmetically from the verified REP pairs and
+    // the per-group sizes (identical token sets ⇒ every member pair has
+    // exactly its reps' jaccard; intra-group pairs are exact dups at
+    // jac = 1.0 ≥ τ), so nothing corpus-scale is ever expanded.
+    //
+    // Candidate generation is re-banded r=2/b=64 over the SAME k=128
+    // signatures (see lshRepGraphAt): the default τ=0.8 index misses a
+    // j=0.5 pair with prob 0.127 — useless as a sweep candidate source —
+    // while r=2 misses at (1-0.25)^64 ≈ 1e-8, so the sweep is exact to
+    // the same standard as llm_neardup_minhash and the all-pairs DuckDB
+    // oracle can verify it. The flatter S-curve admits more candidates —
+    // that cost is the real price of sweeping low τ, which is exactly
+    // what this row lets an operator measure before a 100 TB run.
+    //
+    // Scale shape: the gsize joins SHUFFLE (gs is corpus-bound — one row
+    // per distinct token set — and hinting it would be the corpus-bound
+    // broadcast anti-pattern, pinned); the τ explode multiplies only the
+    // answer-bound verified pairs by 3; everything after is index-scale.
+    Q(
+      "llm_minhash_tau_sweep",
+      (s, d) => {
+        val tauArr = array(Seq(0.5, 0.7, 0.9).map(lit): _*)
+        val (chunks, verified0) = lshRepGraphAt(s, d, tau = 0.5, rowsPerBand = 2)
+        val verified = verified0.persist()
+        // one row per identical-token-set group: (rep_id, gsize)
+        val gs = chunks.where(col("cmin") === col("rep_id"))
+          .select(col("rep_id"), col("gsize"))
+        val pg = verified
+          .join(gs.select(col("rep_id").as("a_rep"), col("gsize").as("ga")), "a_rep")
+          .join(gs.select(col("rep_id").as("b_rep"), col("gsize").as("gb")), "b_rep")
+        val tl = pg.select(explode(tauArr).as("tau"), col("jac"),
+            col("a_rep"), col("b_rep"), col("ga"), col("gb"))
+          .where(col("jac") >= col("tau"))
+        // cross-group doc pairs per τ: ga·gb per verified rep pair —
+        // COUNTED via group sizes, never materialized
+        val crossP = tl.groupBy(col("tau"))
+          .agg(sum(col("ga") * col("gb")).as("n_cross_pairs"))
+        // intra-group doc pairs: C(g,2) per multi-member group, at
+        // jac = 1.0 ≥ every swept τ. Integer DIV, not `/`: the double
+        // division loses exactness past 2^53 — a 10⁹-member boilerplate
+        // group has ~5×10¹⁷ intra pairs.
+        val multi = gs.where(col("gsize") > 1)
+        val intraP = multi
+          .select(explode(tauArr).as("tau"),
+            expr("gsize * (gsize - 1) DIV 2").as("np"))
+          .groupBy(col("tau")).agg(sum(col("np")).as("n_intra_pairs"))
+        // linked docs per τ: members of any rep in a ≥τ pair, plus members
+        // of every multi-member group
+        val pairReps = tl
+          .select(col("tau"), col("a_rep").as("rep_id"), col("ga").as("g"))
+          .unionAll(tl.select(col("tau"), col("b_rep").as("rep_id"), col("gb").as("g")))
+        val multiReps = multi
+          .select(explode(tauArr).as("tau"), col("rep_id"), col("gsize").as("g"))
+        val linked = pairReps.unionAll(multiReps).distinct()
+          .groupBy(col("tau")).agg(sum(col("g")).as("n_docs_linked"))
+        // corpus total: one-row aggregate, legitimately broadcast
+        val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        s.range(1).select(explode(tauArr).as("tau"))
+          .join(crossP, Seq("tau"), "left")
+          .join(intraP, Seq("tau"), "left")
+          .join(linked, Seq("tau"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("tau"),
+            (coalesce(col("n_cross_pairs"), lit(0L)) +
+              coalesce(col("n_intra_pairs"), lit(0L))).as("n_pairs"),
+            coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"),
+            coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
+            coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+            (coalesce(col("n_docs_linked"), lit(0L)).cast("double") /
+              col("n_docs").cast("double")).as("frac_linked"))
+          .orderBy(col("tau"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksSqlDuck AS toks
+          FROM documents),
+        g AS (
+          SELECT min(doc_id) AS rep_id, count(*) AS gsize
+          FROM t GROUP BY list_sort(toks)),
+        reps AS (
+          SELECT t.doc_id AS rep_id, t.toks
+          FROM t JOIN g ON t.doc_id = g.rep_id),
+        p AS (
+          SELECT a.rep_id AS a_rep, b.rep_id AS b_rep,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jac
+          FROM reps a JOIN reps b ON a.rep_id < b.rep_id),
+        taus AS (SELECT unnest([0.5e0, 0.7e0, 0.9e0]) AS tau),
+        tl AS (
+          SELECT taus.tau, p.a_rep, p.b_rep, ga.gsize AS ga, gb.gsize AS gb
+          FROM p
+          JOIN g ga ON ga.rep_id = p.a_rep
+          JOIN g gb ON gb.rep_id = p.b_rep
+          JOIN taus ON p.jac >= taus.tau),
+        crossp AS (SELECT tau, sum(ga * gb) AS ncp FROM tl GROUP BY tau),
+        intrap AS (
+          SELECT taus.tau, sum(g.gsize * (g.gsize - 1) // 2) AS nip
+          FROM g CROSS JOIN taus WHERE g.gsize > 1 GROUP BY taus.tau),
+        linkedreps AS (
+          SELECT DISTINCT tau, rep_id, gg FROM (
+            SELECT tau, a_rep AS rep_id, ga AS gg FROM tl
+            UNION ALL SELECT tau, b_rep AS rep_id, gb AS gg FROM tl
+            UNION ALL
+            SELECT taus.tau, g.rep_id, g.gsize AS gg
+            FROM g CROSS JOIN taus WHERE g.gsize > 1)),
+        linked AS (SELECT tau, sum(gg) AS ndl FROM linkedreps GROUP BY tau),
+        tot AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT taus.tau,
+               CAST(coalesce(crossp.ncp, 0) + coalesce(intrap.nip, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(crossp.ncp, 0) AS BIGINT) AS n_cross_pairs,
+               CAST(coalesce(intrap.nip, 0) AS BIGINT) AS n_intra_pairs,
+               CAST(coalesce(linked.ndl, 0) AS BIGINT) AS n_docs_linked,
+               CAST(coalesce(linked.ndl, 0) AS DOUBLE)
+                 / CAST(tot.n_docs AS DOUBLE) AS frac_linked
+        FROM taus
+        LEFT JOIN crossp ON crossp.tau = taus.tau
+        LEFT JOIN intrap ON intrap.tau = taus.tau
+        LEFT JOIN linked ON linked.tau = taus.tau
+        CROSS JOIN tot
+        ORDER BY taus.tau""")),
 
     // H (scale output form): cluster-assignment dedup — ONE row per doc,
     // (doc_id → keep_id), where keep_id = min doc_id of the doc's near-dup

@@ -1008,6 +1008,109 @@ object VectorQueries {
         WHERE rk <= 8
         ORDER BY c_id, rk""")),
 
+    // H (round 18, r17 verdict #5): DIVERSITY PRUNING — SemDeDup's final
+    // keep-list given a per-cluster budget: within each hier cell, keep
+    // the ⌈30%·|cell|⌉ vectors FARTHEST from the quantized centroid (the
+    // SemDeDup paper's choice — for semantically clustered near-dups the
+    // low-similarity-to-centroid members are the diverse ones; the
+    // centroid-adjacent mass is redundant) and emit ONE row per vector
+    // with its rank and keep/drop flag — the linear keep-list contract,
+    // the same output shape llm_dedup_cluster established.
+    //
+    // Shares llm_cluster_sample's exact quantize+assign+centroid stages
+    // (identical plans ⇒ CacheManager-shared persists when both run in a
+    // session); dist² is DotProduct(diff, diff) — the accumulation PROVEN
+    // bit-identical across engines — and the rank orders (dist2 DESC,
+    // vec_id) so ties are deterministic. The budget ⌈0.3·n⌉ uses one
+    // double mul + ceil, IEEE-identical in DuckDB; n rides the SAME
+    // Window partition as the rank (no extra exchange — both window
+    // nodes share the c_id partitioning).
+    //
+    // Scale shape: centroid table is index-scale (broadcast, pinned);
+    // q ⋈ cell shuffles (pinned); one window exchange on c_id. No limit
+    // prune applies — every vector is emitted with its flag, which is
+    // the point: the keep-list feeds the next pipeline stage.
+    Q(
+      "llm_diversity_prune",
+      (s, d) => {
+        val (e, _, cell, _) = hierIndex(s, d)
+        val q = e
+          .select(col("vec_id"), col("v"),
+            array_max(transform(col("v"), x => abs(x))).as("scale"))
+          .select(col("vec_id"),
+            when(col("scale") > 0,
+              transform(col("v"),
+                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+          .join(cell, "vec_id")
+          .persist()
+        val cents = q
+          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
+          .groupBy(col("c_id"), col("dim"))
+          .agg((sum(col("qc")).cast("double") /
+            count(lit(1)).cast("double")).as("m"))
+          .groupBy(col("c_id"))
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+            p => p.getField("m")).as("cm"))
+        val rankW = Window.partitionBy(col("c_id"))
+          .orderBy(col("dist2").desc, col("vec_id"))
+        val cntW = Window.partitionBy(col("c_id"))
+        q.join(broadcast(cents), "c_id")
+          .select(col("c_id"), col("vec_id"),
+            VectorOps.dot(
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
+              .as("dist2"))
+          .select(col("c_id"), col("vec_id"), col("dist2"),
+            row_number().over(rankW).as("rk"),
+            count(lit(1)).over(cntW).as("n_cell"))
+          .select(col("c_id"), col("rk"), col("vec_id"), col("dist2"),
+            (col("rk") <= ceil(col("n_cell") * lit(0.3d))).as("kept"))
+          .orderBy(col("c_id"), col("rk"))
+      },
+      oracle = Some(s"""$hierCellsSql,
+        sc AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN sc.scale > 0
+                   THEN list_transform(e.v,
+                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM e JOIN sc USING (vec_id)),
+        x AS (
+          SELECT cell.c_id, qv.vec_id, r.i AS dim, qv.q[r.i + 1] AS qc
+          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i)),
+        cm AS (
+          SELECT c_id, dim,
+                 CAST(sum(qc) AS DOUBLE) / count(*) AS m
+          FROM x GROUP BY c_id, dim),
+        cma AS (
+          SELECT c_id, list(m ORDER BY dim) AS cm FROM cm GROUP BY c_id),
+        scored AS (
+          SELECT qv2.c_id, qv2.vec_id,
+                 list_dot_product(qv2.diff, qv2.diff) AS dist2
+          FROM (
+            SELECT cell.c_id, qv.vec_id,
+                   list_transform(range(1, 65),
+                     i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]) AS diff
+            FROM qv
+            JOIN cell USING (vec_id)
+            JOIN cma ON cma.c_id = cell.c_id) qv2),
+        ranked AS (
+          SELECT c_id, vec_id, dist2,
+                 row_number() OVER (PARTITION BY c_id
+                   ORDER BY dist2 DESC, vec_id) AS rk,
+                 count(*) OVER (PARTITION BY c_id) AS n_cell
+          FROM scored)
+        SELECT c_id, rk, vec_id, dist2,
+               rk <= ceil(n_cell * 0.3e0) AS kept
+        FROM ranked
+        ORDER BY c_id, rk""")),
+
     // H: symmetric int8 quantization audit — the memory-scale lever every
     // production ANN deployment pulls (4× smaller vectors, SIMD int8 dot
     // kernels): per vector, max-abs scaling to [-127, 127] with

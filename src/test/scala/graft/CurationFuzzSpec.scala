@@ -74,6 +74,14 @@ class CurationFuzzSpec extends GraftSpec {
     // all-pairs joins stay at ~2.2k pairs.
     "llm_neardup_jaccard", "llm_neardup_shingle", "llm_simhash_neardup",
     "llm_dedup_norm",
+    // τ-sweep (r18): the dup-heavy fuzz sentences give every τ a live
+    // pair population, the empty/whitespace docs form a multi-member
+    // empty-token-set group (intra pairs at jac 1.0 with NO signature
+    // row — explode of an empty tids array must drop the rep from
+    // banding in Spark exactly as the 0-jaccard cross pairs fall out of
+    // the oracle), and the r=2 banding must keep recall 1 on the 16-word
+    // vocabulary's compressed jaccard range.
+    "llm_minhash_tau_sweep",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|

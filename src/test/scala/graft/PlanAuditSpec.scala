@@ -526,6 +526,49 @@ class PlanAuditSpec extends GraftSpec {
       s"rk <= 8 must push down as WindowGroupLimit:\n${p.take(3000)}")
   }
 
+  test("llm_diversity_prune broadcasts only the centroid table; keep-list stays linear") {
+    // The scale contract (VectorQueries comment): same stage shapes as
+    // llm_cluster_sample — index-scale centroid table broadcast (hinted,
+    // survives auto-broadcast-off), corpus-bound q ⋈ cell shuffles on
+    // vec_id, never broadcasts. No WindowGroupLimit pin here ON PURPOSE:
+    // every vector is emitted with its keep flag (the linear keep-list
+    // contract), so there is no limit to push down — the pin instead
+    // guards that the rank and the cell-count ride Window nodes, not a
+    // self-join re-scan of the corpus.
+    val p = planNoAutoBroadcast("llm_diversity_prune")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[c_id#".r.findFirstIn(p).isDefined,
+      s"centroid attachment must be the hinted broadcast join:\n${p.take(3000)}")
+    assert("SortMergeJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isDefined,
+      s"q ⋈ cell must shuffle on vec_id:\n${p.take(3000)}")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[vec_id#".r.findFirstIn(p).isEmpty,
+      s"corpus-bound vec_id sides must never broadcast:\n${p.take(3000)}")
+    assert("Window ".r.findAllIn(p).size >= 1 && !p.contains("CartesianProduct"),
+      s"rank/count must be window passes, no cartesian:\n${p.take(3000)}")
+  }
+
+  test("llm_minhash_tau_sweep: gsize joins shuffle, only the 1-row total broadcasts") {
+    // The scale contract (LlmQueries comment): gs is corpus-bound (one
+    // row per distinct token set), so attaching group sizes to the
+    // verified pairs must SHUFFLE on a_rep/b_rep under auto-broadcast-off
+    // — hinting gs would be the corpus-bound broadcast anti-pattern. The
+    // ONLY promised-bounded broadcast is the one-row corpus total behind
+    // frac_linked (the llm_mix_weights pattern). The τ explode multiplies
+    // only answer-bound rows, so nothing else may materialize a
+    // cartesian.
+    val p = planNoAutoBroadcast("llm_minhash_tau_sweep")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"expected exactly the one-row total broadcast:\n${p.take(3000)}")
+    assert("SortMergeJoin(?:[^\\n]*) \\[a_rep#".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin(?:[^\\n]*) \\[a_rep#".r.findFirstIn(p).isDefined,
+      s"gsize attachment must shuffle on a_rep:\n${p.take(3000)}")
+    assert("BroadcastHashJoin(?:[^\\n]*) \\[a_rep#".r.findFirstIn(p).isEmpty &&
+      "BroadcastHashJoin(?:[^\\n]*) \\[b_rep#".r.findFirstIn(p).isEmpty,
+      s"corpus-bound rep sides must never broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the sweep:\n${p.take(3000)}")
+  }
+
   test("llm_dedup_semantic final assembly is one answer-bound broadcast") {
     // The loop's internals are pinned via the shared pieces (srp rep-pair
     // generation by the cosine_lsh pin; the label loop is the cluster

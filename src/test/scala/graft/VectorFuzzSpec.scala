@@ -34,7 +34,8 @@ class VectorFuzzSpec extends GraftSpec {
     "llm_dedup_semantic",     // rep-graph components + glue guard
     "llm_emb_quant",          // zero-vector scale branch
     "llm_kmeans_update",      // exact sums over clones + zeros
-    "llm_cluster_sample")     // distance ties among clones (vec_id break)
+    "llm_cluster_sample",     // distance ties among clones (vec_id break)
+    "llm_diversity_prune")    // DESC-rank ties among clones + ⌈0.3·n⌉ budget
 
   test("clone/zero/near-clone embedding corpus: vector rows agree with DuckDB") {
     val rnd = new Random(0x5EED15)
