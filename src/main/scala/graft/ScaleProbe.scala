@@ -135,7 +135,15 @@ object ScaleProbe {
     // round 18: diversity pruning — one row per vector out (the keep-list
     // contract), same index stages as llm_kmeans_update; the wall ratio
     // checks the single-window + index-broadcast claim.
-    "llm_diversity_prune")
+    "llm_diversity_prune",
+    // round 18: the duplicate-shingle audit — four linear stages (explode,
+    // gram agg, gram shuffle join, doc agg) and one row per doc out; the
+    // wall ratio checks that the gram-frequency join stays shuffle-shaped
+    // and linear even as staged clones multiply every gram's DF by N.
+    "llm_dupgram_fraction",
+    // round 18: split assignment — map-only per-row arithmetic, the
+    // baseline zero-shuffle curve the heavier rows are judged against.
+    "llm_split_assign")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -68,6 +68,16 @@ object TextQueries {
   /** llm_tfidf_topk literal: keywords kept per document. */
   private val TfidfTopK = 3
 
+  /** llm_dupgram_fraction literal (interpolated on both engines, DfCap
+    * precedent): a document whose duplicated-shingle share reaches this
+    * value is flagged dup_heavy. 0.8 sits at the ~p90 of the sf0.01
+    * per-doc distribution [MEASURED: p75 0.676, p95 0.989, median 0.617]
+    * — the flag marks a high-duplication MINORITY, the way the audit is
+    * tuned in production, while both flag branches stay hot at the
+    * driver gate.
+    */
+  private val DupFracFlag = 0.8
+
   /** llm_pipeline_curate literal (interpolated on both engines, DfCap
     * precedent): minimum composite quality (llm_quality_score's exact
     * formula, computed on the SCRUBBED text) a doc must reach to survive
@@ -1735,5 +1745,104 @@ object TextQueries {
         SELECT doc_id, drop_stage, n_pii, quality,
                drop_stage = 'kept' AS keep
         FROM f
+        ORDER BY doc_id""")),
+
+    // H: corpus duplicate-shingle audit (round 18) — for every document,
+    // the share of its DISTINCT 3-token shingles that also occur in at
+    // least one OTHER document, plus the dup_heavy flag at the
+    // DupFracFlag threshold. This is the "how duplicated is my corpus"
+    // diagnostic a curation run reads BEFORE choosing dedup thresholds
+    // (the per-doc self-corpus twin of llm_contamination's corpus-vs-
+    // benchmark overlap): the near-dup rows answer "which pairs/clusters
+    // collapse", this row answers "how much of each document's content
+    // is corpus-repeated at all".
+    //
+    // Scale shape: one explode (linear in corpus token count), one
+    // (gram) hash agg for document frequency — u is already
+    // doc-distinct, so count(*) IS count(distinct doc) with map-side
+    // partial agg intact — one gram-keyed shuffle join back, one
+    // (doc_id) hash agg. All four stages linear; the gram-frequency
+    // side is CORPUS-scale (vocabulary of shingles), so it must
+    // shuffle-join, never broadcast — same contract as
+    // llm_dedup_incremental's index side (pinned under
+    // auto-broadcast-off in PlanAuditSpec).
+    Q(
+      "llm_dupgram_fraction",
+      (s, d) => {
+        val u = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(
+            expr("transform(sequence(1, size(toks) - 2), " +
+              "i -> array_join(slice(toks, i, 3), ' '))"))).as("gram"))
+        val df = u.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+        val frac = col("n_dup").cast("double") /
+          col("n_grams").cast("double")
+        u.join(df, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            frac.as("dup_frac"),
+            (frac >= DupFracFlag).as("dup_heavy"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        u AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+          FROM t WHERE len(toks) >= 3),
+        df AS (SELECT gram, count(*) AS gdf FROM u GROUP BY gram),
+        per AS (
+          SELECT u.doc_id,
+                 count(*) AS n_grams,
+                 CAST(sum(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup
+          FROM u JOIN df USING (gram) GROUP BY u.doc_id)
+        SELECT doc_id, n_grams, n_dup,
+               CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+               CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 >= $DupFracFlag AS dup_heavy
+        FROM per
+        ORDER BY doc_id""")),
+
+    // H: deterministic train/valid/test split assignment (round 18) —
+    // the last step of every curation pipeline before tokenization:
+    // every document lands in exactly one of train/valid/test at 90/5/5
+    // by the salted-md5 uniform key (llm_sample_stratified's exact
+    // idiom — NOT rand(): task retries keep the same assignment, reruns
+    // reproduce bit-for-bit, adding documents never moves an existing
+    // one between splits, and the DuckDB oracle agrees exactly).
+    //
+    // Scale shape: map-only, ZERO shuffles at any corpus size (the
+    // oracle-ordering Exchange aside) — the split is a pure per-row
+    // function of doc_id.
+    Q(
+      "llm_split_assign",
+      (s, d) => {
+        val key = conv(substring(md5(
+            concat(lit("graft-split-v1:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("bigint")
+        val u = key.cast("double") / lit(1152921504606846976L) // 2^60
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(u < 0.90, "train")
+              .when(u < 0.95, "valid")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CASE WHEN u < 0.90 THEN 'train'
+                    WHEN u < 0.95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('graft-split-v1:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents)
         ORDER BY doc_id""")))
 }

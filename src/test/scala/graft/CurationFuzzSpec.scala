@@ -131,7 +131,17 @@ class CurationFuzzSpec extends GraftSpec {
     // genuinely bites on every source (unlike sf0.001's sparser strata),
     // and the md5-hex string ordering must agree across engines for
     // the kept set to hash identically.
-    "llm_domain_quota")
+    "llm_domain_quota",
+    // Duplicate-shingle audit (r18): the dup-heavy fuzz sentences give
+    // the gdf >= 2 branch a live population, token-poor docs (empty /
+    // whitespace / < 3 tokens) must vanish from BOTH engines' output,
+    // and the giant repetition doc's distinct-shingle collapse
+    // (array_distinct vs list_distinct) must agree before the fraction.
+    "llm_dupgram_fraction",
+    // Split assignment (r18): pure doc_id arithmetic — included so the
+    // 90/5/5 boundaries are exercised on a doc_id range (0..66) the
+    // driver corpus doesn't cover.
+    "llm_split_assign")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val rnd = new Random(0xF022)

@@ -213,7 +213,7 @@ class PlanAuditSpec extends GraftSpec {
     // for the final deterministic orderBy.
     for (q <- Seq("llm_repetition", "llm_sample_stratified", "llm_pii_scrub",
         "llm_image_decode", "llm_image_decode_var", "llm_audio_decode",
-        "llm_emb_quant")) {
+        "llm_emb_quant", "llm_split_assign")) {
       val exchanges = plan(q).linesIterator.filter(_.contains("Exchange")).toList
       assert(exchanges.size <= 1 && exchanges.forall(_.contains("rangepartitioning")),
         s"$q must be map-only up to the output sort, got:\n${exchanges.mkString("\n")}")
@@ -235,6 +235,19 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1,
       "pipeline must read the corpus once")
     assert(!p.contains("Join"), s"no stage may join:\n${p.take(1500)}")
+  }
+
+  test("llm_dupgram_fraction: the gram-frequency side shuffle-joins, never broadcasts") {
+    // The shingle-DF table is CORPUS-scale (the corpus's shingle
+    // vocabulary — same boundedness class as llm_dedup_incremental's
+    // index side); broadcasting it is the 100 TB anti-pattern the design
+    // comment rules out. At threshold -1 only a hint could broadcast, so
+    // absence here pins the promise.
+    val p = planNoAutoBroadcast("llm_dupgram_fraction")
+    assert(!p.contains("BroadcastExchange"),
+      s"gram-frequency side must never broadcast:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled gram join:\n${p.take(2000)}")
   }
 
   test("real-decode rows run the decode expression exactly once per row") {
