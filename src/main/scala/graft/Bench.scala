@@ -410,9 +410,13 @@ object Bench {
         } else ""
         // Explicit heartbeat marker (round-15 ADVICE): the copy loop runs
         // INSIDE the timed region, so flagged-row `sec` readings carry its
-        // constant tax from round 14 on — `hb_on` marks which samples paid
-        // it without a reader inferring from hb's presence (a discarded
-        // series would otherwise be indistinguishable from not-measured).
+        // constant tax from whichever round added the row to membwQueries
+        // (two rows since round 14, five since round 17 — cross-round
+        // comparisons of a flagged row must gate on this marker, since its
+        // pre-flag history was measured without the tax). `hb_on` marks
+        // which samples paid it without a reader inferring from hb's
+        // presence (a discarded series would otherwise be
+        // indistinguishable from not-measured).
         val hbOnField = if (s.hbOn) s""","hb_on":true""" else ""
         s"""{"at":${fix(s.at, 2)},"sec":${fix(s.sec, 3)},"ev":${s.ev}""" +
           s"""$bwField$bwAfterField$hbField$hbOnField}"""
