@@ -143,7 +143,16 @@ object ScaleProbe {
     "llm_dupgram_fraction",
     // round 18: split assignment — map-only per-row arithmetic, the
     // baseline zero-shuffle curve the heavier rows are judged against.
-    "llm_split_assign")
+    "llm_split_assign",
+    // round 18: BM25 — two linear scans (per-doc lambdas + the scalar
+    // stats agg) and a TakeOrderedAndProject heap; the wall ratio checks
+    // the zero-shuffle-join claim.
+    "llm_bm25_search",
+    // round 18: bigram fluency scoring — explode, two vocab aggs, the
+    // transitions⋈LM shuffle join, one doc agg; all linear in corpus
+    // transitions, which is exactly what the wall ratio checks (the LM
+    // table itself is vocab²-bounded on the staged clones).
+    "llm_bigram_score")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -68,6 +68,18 @@ object TextQueries {
   /** llm_tfidf_topk literal: keywords kept per document. */
   private val TfidfTopK = 3
 
+  /** Bigram-LM literals (interpolated on both engines, DfCap precedent).
+    * TransRareP: a Laplace-smoothed transition probability below this is
+    * a "rare transition" — 0.025 sits at the ~p5 of the sf0.01 corpus
+    * transition distribution [MEASURED: p01 0.0204, p05 0.0241, median
+    * 0.0341]. RareFracFlag: a doc whose rare-transition share exceeds
+    * this is flagged disfluent — 0.10 sits between the p75 (0.081) and
+    * p95 (0.138) of the per-doc distribution, so the flag drops a
+    * minority while both branches stay hot at the driver gate.
+    */
+  private val TransRareP = 0.025
+  private val RareFracFlag = 0.10
+
   /** llm_dupgram_fraction literal (interpolated on both engines, DfCap
     * precedent): a document whose duplicated-shingle share reaches this
     * value is flagged dup_heavy. 0.8 sits at the ~p90 of the sf0.01
@@ -1808,6 +1820,231 @@ object TextQueries {
                  >= $DupFracFlag AS dup_heavy
         FROM per
         ORDER BY doc_id""")),
+
+    // H: bigram LM training (round 18) — the count half of a CCNet/
+    // KenLM-style fluency filter: corpus bigram transition counts with
+    // Laplace smoothing, P(w2|w1) = (c12 + 1)/(c1 + V) where c1 is w1's
+    // total successor count and V the successor vocabulary — all exact
+    // BIGINT counts with ONE double division (the tfidf/unigram
+    // discipline: no log, so the row stays hash-verifiable; ranking and
+    // thresholding are monotone in the rational form). Output: the
+    // top-20 transitions by raw count — the model head a quality run
+    // inspects first.
+    //
+    // Scale shape: one explode (linear in corpus tokens), one (w1, w2)
+    // hash agg with map-side partials, one (w1) re-agg of the REDUCED
+    // bigram table, one scalar V row broadcast; top-20 as
+    // TakeOrderedAndProject heaps. No corpus-scale join anywhere.
+    Q(
+      "llm_bigram_lm",
+      (s, d) => {
+        val tr = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = tr.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val v = tr.agg(countDistinct(col("w2")).as("v"))
+        c12.join(c1, "w1").crossJoin(broadcast(v))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            ((col("c12").cast("double") + lit(1.0)) /
+              (col("c1").cast("double") + col("v").cast("double")))
+              .as("prob"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        e AS (
+          SELECT p.w1 AS w1, p.w2 AS w2
+          FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+                FROM t WHERE len(toks) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM e)
+        SELECT w1, w2, c12, c1,
+               (CAST(c12 AS DOUBLE) + 1.0)
+                 / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS prob
+        FROM c12 JOIN c1 USING (w1), v
+        ORDER BY c12 DESC, w1, w2
+        LIMIT 20""")),
+
+    // H: bigram fluency scoring (round 18) — the APPLY half of the
+    // CCNet-style filter trained by llm_bigram_lm: per document the
+    // rare-transition share (smoothed P < TransRareP) and the minimum
+    // transition probability, with a disfluency flag at RareFracFlag.
+    // The hash-safety design: a per-doc MEAN of smoothed probabilities
+    // would sum doubles with varying denominators across a shuffle
+    // (partition-order-dependent — could never hash-match), so the
+    // score is built only from order-insensitive-exact reductions:
+    // per-transition P is one fixed-order expression, rare counting is
+    // BIGINT, the share is ONE division, and min() on doubles is
+    // comparison-only (no rounding). The weakest-link min and the rare
+    // share are exactly the signals a fluency filter thresholds on.
+    //
+    // Scale shape: the bigram table is VOCABULARY²-scale — corpus-bound
+    // at web scale, so transitions ⋈ table is a SHUFFLE join on
+    // (w1, w2), never broadcast (the tfidf anti-pattern argument,
+    // pinned under auto-broadcast-off); c12 ⋈ c1 joins two reduced
+    // vocab tables; the scalar V row broadcasts; one (doc_id) hash agg
+    // closes. All stages linear in corpus transitions.
+    Q(
+      "llm_bigram_score",
+      (s, d) => {
+        val tr = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = tr.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val v = tr.agg(countDistinct(col("w2")).as("v"))
+        val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
+          .select(col("w1"), col("w2"),
+            ((col("c12").cast("double") + lit(1.0)) /
+              (col("c1").cast("double") + col("v").cast("double")))
+              .as("prob"))
+        tr.join(lm, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trans"),
+            sum(when(col("prob") < TransRareP, 1L).otherwise(0L))
+              .as("n_rare"),
+            min(col("prob")).as("min_p"))
+          .select(col("doc_id"), col("n_trans"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_trans").cast("double"))
+              .as("rare_frac"),
+            col("min_p"),
+            (col("n_rare").cast("double") / col("n_trans").cast("double")
+              > RareFracFlag).as("disfluent"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        e AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+          FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+                FROM t WHERE len(toks) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM e),
+        lm AS (
+          SELECT w1, w2,
+                 (CAST(c12 AS DOUBLE) + 1.0)
+                   / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS prob
+          FROM c12 JOIN c1 USING (w1), v),
+        per AS (
+          SELECT e.doc_id,
+                 count(*) AS n_trans,
+                 CAST(sum(CASE WHEN lm.prob < $TransRareP THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rare,
+                 min(lm.prob) AS min_p
+          FROM e JOIN lm USING (w1, w2) GROUP BY e.doc_id)
+        SELECT doc_id, n_trans, n_rare,
+               CAST(n_rare AS DOUBLE) / CAST(n_trans AS DOUBLE) AS rare_frac,
+               min_p,
+               CAST(n_rare AS DOUBLE) / CAST(n_trans AS DOUBLE)
+                 > $RareFracFlag AS disfluent
+        FROM per
+        ORDER BY doc_id""")),
+
+    // H: BM25 retrieval (round 18) — rank the corpus against a literal
+    // 3-term query and keep the top-10, the classic lexical-search
+    // primitive (and the retrieval half of contamination/quality
+    // tooling: "which training docs look most like this probe"). The
+    // idf is BM25's (N - df + ½)/(df + ½) WITHOUT the log wrapper —
+    // the llm_tfidf_topk/llm_unigram_score discipline: ln() differs
+    // from DuckDB libm in the last ulp, while this rational form is one
+    // fixed-order double expression over exact BIGINT counts, so the
+    // row stays hash-verifiable; the log is monotone in the rational
+    // idf for df < N/2 (every discriminative term), so top-k order is
+    // the production order wherever ranking is decided by idf. Query
+    // terms (dup/vector/batch) span the fixture's df range 25/382/402
+    // of 500 — the rare term dominates exactly as BM25 intends.
+    //
+    // Scale shape: per-doc tf/dl are map-side lambdas (no explode, no
+    // per-term join); the corpus stats (N, Σdl, per-term df) are ONE
+    // scalar aggregation broadcast back as a single row (the
+    // llm_mix_weights argument); top-10 plans as TakeOrderedAndProject
+    // heaps. Two corpus scans, zero shuffle joins at any corpus size.
+    Q(
+      "llm_bm25_search",
+      (s, d) => {
+        val terms = Seq("dup", "vector", "batch")
+        val toks = toksAll(col("text"))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id") +: size(toks).cast("bigint").as("dl") +:
+            terms.zipWithIndex.map { case (w, i) =>
+              size(filter(toks, x => x === w)).cast("bigint").as(s"tf$i")
+            }: _*)
+        val aggs = sum(col("dl")).as("sumdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = t.agg(count(lit(1)).as("n"), aggs: _*)
+        val nD = col("n").cast("double")
+        val avgdl = col("sumdl").cast("double") / nD
+        def w(i: Int): Column = {
+          val tf = col(s"tf$i").cast("double")
+          val df = col(s"df$i").cast("double")
+          val idf = (nD - df + lit(0.5)) / (df + lit(0.5))
+          idf * (tf * lit(2.2)) / (tf + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        }
+        t.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"),
+            (w(0) + w(1) + w(2)).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 len($toksAllDuck) AS dl,
+                 len(list_filter($toksAllDuck, x -> x = 'dup')) AS tf0,
+                 len(list_filter($toksAllDuck, x -> x = 'vector')) AS tf1,
+                 len(list_filter($toksAllDuck, x -> x = 'batch')) AS tf2
+          FROM documents),
+        s AS (
+          SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM t)
+        SELECT doc_id, dl,
+               (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                 / (CAST(df0 AS DOUBLE) + 0.5)
+                 * (CAST(tf0 AS DOUBLE) * 2.2)
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                 / (CAST(df1 AS DOUBLE) + 0.5)
+                 * (CAST(tf1 AS DOUBLE) * 2.2)
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                 / (CAST(df2 AS DOUBLE) + 0.5)
+                 * (CAST(tf2 AS DOUBLE) * 2.2)
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                     * (CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+               AS score
+        FROM t, s
+        ORDER BY score DESC, doc_id
+        LIMIT 10""")),
 
     // H: deterministic train/valid/test split assignment (round 18) —
     // the last step of every curation pipeline before tokenization:

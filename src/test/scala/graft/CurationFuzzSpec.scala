@@ -141,7 +141,20 @@ class CurationFuzzSpec extends GraftSpec {
     // Split assignment (r18): pure doc_id arithmetic — included so the
     // 90/5/5 boundaries are exercised on a doc_id range (0..66) the
     // driver corpus doesn't cover.
-    "llm_split_assign")
+    "llm_split_assign",
+    // BM25 (r18): the fuzz vocabulary contains NONE of the literal query
+    // terms, so every score is exactly 0.0 in both engines and the
+    // top-10 is decided purely by the doc_id tiebreak — the all-miss
+    // path; empty/whitespace docs also pin dl = 0 through the length
+    // normalization (0/avgdl, not 0/0 — avgdl > 0 on this corpus).
+    "llm_bm25_search",
+    // Bigram LM + fluency scoring (r18): transition-less docs (empty /
+    // whitespace / one token) must vanish from the score output in BOTH
+    // engines, the giant repetition doc collapses to ONE high-count
+    // transition (its min_p IS that transition's smoothed P), and the
+    // 16-word vocabulary compresses the probability range so the rare
+    // threshold and top-20 count ties are genuinely contested.
+    "llm_bigram_lm", "llm_bigram_score")
 
   test("random+adversarial corpus: curation rows agree with DuckDB") {
     val rnd = new Random(0xF022)

@@ -250,6 +250,32 @@ class PlanAuditSpec extends GraftSpec {
       s"expected a shuffled gram join:\n${p.take(2000)}")
   }
 
+  test("llm_bigram_score: the bigram table shuffle-joins, never broadcasts") {
+    // The LM table is vocabulary²-scale (corpus-bound at web scale —
+    // the tfidf anti-pattern argument); only the scalar V row may
+    // broadcast. At threshold -1 any other BroadcastExchange would be a
+    // corpus-bound hint.
+    val p = planNoAutoBroadcast("llm_bigram_score")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected shuffled transition⋈LM join:\n${p.take(2000)}")
+    val bx = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bx <= 1, s"only the scalar V row may broadcast, got $bx:\n${p.take(2000)}")
+  }
+
+  test("llm_bm25_search: single-row stats broadcast, no shuffle join, top-k heaps") {
+    // The corpus stats (N, Σdl, per-term df) reduce to ONE row — the only
+    // legitimate broadcast; per-doc tf/dl are map-side lambdas and the
+    // top-10 must plan as TakeOrderedAndProject heaps, so the row is two
+    // scans + zero shuffle joins at any corpus size.
+    val p = planNoAutoBroadcast("llm_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-scale shuffle join allowed:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      s"the single-row stats must broadcast:\n${p.take(2000)}")
+  }
+
   test("real-decode rows run the decode expression exactly once per row") {
     // CollapseProject substituting the feature array into its 7-8 getItem
     // consumers would run the full ImageIO / javax.sound decode that many
