@@ -151,8 +151,10 @@ object ScaleProbe {
     // round 18: bigram fluency scoring — explode, two vocab aggs, the
     // transitions⋈LM shuffle join, one doc agg; all linear in corpus
     // transitions, which is exactly what the wall ratio checks (the LM
-    // table itself is vocab²-bounded on the staged clones).
-    "llm_bigram_score")
+    // table itself is vocab²-bounded on the staged clones). The train
+    // row rides along: its corpus cost is the same explode + (w1, w2)
+    // agg, and the top-20 head is TakeOrdered-bounded.
+    "llm_bigram_score", "llm_bigram_lm")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

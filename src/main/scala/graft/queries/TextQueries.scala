@@ -80,6 +80,57 @@ object TextQueries {
   private val TransRareP = 0.025
   private val RareFracFlag = 0.10
 
+  /** Shared bigram-LM machinery for llm_bigram_lm / llm_bigram_score
+    * (round 18; the hierCellsSql discipline — one definition so the
+    * smoothing cannot fork between the train and apply rows). Returns
+    * (per-doc transitions, smoothed LM table). V is countDistinct(w2)
+    * over the REDUCED c12 table — identical to counting over the raw
+    * transitions (c12 has one row per distinct (w1, w2)) but saves a
+    * full corpus scan + explode (round-18 review). NULL/token-poor docs
+    * drop consistently in both engines: Spark's size(toks) is -1 for
+    * NULL and DuckDB's len(NULL) is NULL — both fail the >= 2 guard.
+    */
+  private def bigramLm(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tr = Tables.documents(s, d)
+      .select(col("doc_id"), toksAll(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = tr.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        ((col("c12").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double")))
+          .as("prob"))
+    (tr, lm)
+  }
+
+  /** The DuckDB spelling of [[bigramLm]] — the shared CTE chain both
+    * bigram oracles open with (t → e → c12 → c1 → v → lm).
+    */
+  private val bigramLmSql = s"""t AS (
+          SELECT doc_id, $toksAllDuck AS toks FROM documents),
+        e AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+          FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+                FROM t WHERE len(toks) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1),
+        v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+        lm AS (
+          SELECT w1, w2, c12, c1,
+                 (CAST(c12 AS DOUBLE) + 1.0)
+                   / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS prob
+          FROM c12 JOIN c1 USING (w1), v)"""
+
   /** llm_dupgram_fraction literal (interpolated on both engines, DfCap
     * precedent): a document whose duplicated-shingle share reaches this
     * value is flagged dup_heavy. 0.8 sits at the ~p90 of the sf0.01
@@ -1644,8 +1695,16 @@ object TextQueries {
         val u = skey.cast("double") / lit(1152921504606846976L) // 2^60
         val rate = when(col("lang") === "en", 0.5).otherwise(0.2)
         val wKey = Window.partitionBy(col("key"))
+        // NULL text coalesces to '' BEFORE the PII stage (round 18 review):
+        // size(regexp_extract_all(NULL)) is -1 under the pinned non-ANSI
+        // config while DuckDB's len(NULL) is NULL — n_pii would read -4 vs
+        // NULL cross-engine. normKey already folds NULL to '' (its own
+        // coalesce), so the dedup key is unchanged by the fold and every
+        // downstream stage (scrub counts, tokens, quality) sees the same
+        // empty document in both engines.
         Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("text"),
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("text"), lit("")).as("text"),
             LlmQueries.normKey(col("text")).as("key"))
           .select(col("doc_id"), col("lang"), col("text"),
             (col("doc_id") === min(col("doc_id")).over(wKey)).as("dedup_keep"))
@@ -1692,7 +1751,7 @@ object TextQueries {
       },
       oracle = Some(s"""
         WITH nk AS (
-          SELECT doc_id, lang, text,
+          SELECT doc_id, lang, coalesce(text, '') AS text,
                  ${LlmQueries.normKeyDuckOn("text")} AS key
           FROM documents),
         dd AS (
@@ -1781,12 +1840,19 @@ object TextQueries {
     Q(
       "llm_dupgram_fraction",
       (s, d) => {
+        // Persisted (round-18 review): u feeds BOTH the df aggregation
+        // and the probe side of the join back — without the persist the
+        // corpus scan + 3-gram explode run twice (the containment
+        // `ranked` persist's exact argument). Corpus-gram-scale rows,
+        // MEMORY_AND_DISK by default, released by Cleanup with the other
+        // corpus intermediates.
         val u = Tables.documents(s, d)
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(array_distinct(
             expr("transform(sequence(1, size(toks) - 2), " +
               "i -> array_join(slice(toks, i, 3), ' '))"))).as("gram"))
+          .persist()
         val df = u.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
         val frac = col("n_dup").cast("double") /
           col("n_grams").cast("double")
@@ -1829,55 +1895,34 @@ object TextQueries {
     // discipline: no log, so the row stays hash-verifiable; ranking and
     // thresholding are monotone in the rational form). Output: the
     // top-20 transitions by raw count — the model head a quality run
-    // inspects first.
+    // inspects first. Machinery shared VERBATIM with the apply row via
+    // bigramLm (the hierCellsSql discipline: the smoothing cannot fork
+    // between train and apply), same for the oracle's CTE chain.
     //
     // Scale shape: one explode (linear in corpus tokens), one (w1, w2)
     // hash agg with map-side partials, one (w1) re-agg of the REDUCED
-    // bigram table, one scalar V row broadcast; top-20 as
+    // bigram table, one scalar V row broadcast (V = countDistinct(w2)
+    // over c12, NOT over the raw transitions — identical value from the
+    // vocab²-bounded table, one corpus pass saved); top-20 as
     // TakeOrderedAndProject heaps. No corpus-scale join anywhere.
     Q(
       "llm_bigram_lm",
       (s, d) => {
-        val tr = Tables.documents(s, d)
-          .select(col("doc_id"), toksAll(col("text")).as("toks"))
-          .where(size(col("toks")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
-          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val c12 = tr.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12"))
-        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val v = tr.agg(countDistinct(col("w2")).as("v"))
-        c12.join(c1, "w1").crossJoin(broadcast(v))
-          .select(col("w1"), col("w2"), col("c12"), col("c1"),
-            ((col("c12").cast("double") + lit(1.0)) /
-              (col("c1").cast("double") + col("v").cast("double")))
-              .as("prob"))
-          .orderBy(col("c12").desc, col("w1"), col("w2"))
+        val (_, lm) = bigramLm(s, d)
+        lm.orderBy(col("c12").desc, col("w1"), col("w2"))
           .limit(20)
       },
       oracle = Some(s"""
-        WITH t AS (
-          SELECT doc_id, $toksAllDuck AS toks FROM documents),
-        e AS (
-          SELECT p.w1 AS w1, p.w2 AS w2
-          FROM (SELECT unnest(list_transform(range(1, len(toks)),
-                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-                FROM t WHERE len(toks) >= 2)),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
-        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
-               FROM c12 GROUP BY w1),
-        v AS (SELECT count(DISTINCT w2) AS v FROM e)
-        SELECT w1, w2, c12, c1,
-               (CAST(c12 AS DOUBLE) + 1.0)
-                 / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS prob
-        FROM c12 JOIN c1 USING (w1), v
+        WITH $bigramLmSql
+        SELECT w1, w2, c12, c1, prob
+        FROM lm
         ORDER BY c12 DESC, w1, w2
         LIMIT 20""")),
 
     // H: bigram fluency scoring (round 18) — the APPLY half of the
-    // CCNet-style filter trained by llm_bigram_lm: per document the
+    // CCNet-style filter trained by llm_bigram_lm (the model is the
+    // shared bigramLm table — verbatim-shared machinery, so the
+    // smoothing cannot fork between train and apply): per document the
     // rare-transition share (smoothed P < TransRareP) and the minimum
     // transition probability, with a disfluency flag at RareFracFlag.
     // The hash-safety design: a per-doc MEAN of smoothed probabilities
@@ -1898,23 +1943,9 @@ object TextQueries {
     Q(
       "llm_bigram_score",
       (s, d) => {
-        val tr = Tables.documents(s, d)
-          .select(col("doc_id"), toksAll(col("text")).as("toks"))
-          .where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val c12 = tr.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12"))
-        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val v = tr.agg(countDistinct(col("w2")).as("v"))
-        val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
-          .select(col("w1"), col("w2"),
-            ((col("c12").cast("double") + lit(1.0)) /
-              (col("c1").cast("double") + col("v").cast("double")))
-              .as("prob"))
-        tr.join(lm, Seq("w1", "w2"))
+        val (tr, lm) = bigramLm(s, d)
+        tr.join(lm.select(col("w1"), col("w2"), col("prob")),
+            Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_trans"),
             sum(when(col("prob") < TransRareP, 1L).otherwise(0L))
@@ -1929,22 +1960,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       oracle = Some(s"""
-        WITH t AS (
-          SELECT doc_id, $toksAllDuck AS toks FROM documents),
-        e AS (
-          SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-          FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                  i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
-                FROM t WHERE len(toks) >= 2)),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
-        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
-               FROM c12 GROUP BY w1),
-        v AS (SELECT count(DISTINCT w2) AS v FROM e),
-        lm AS (
-          SELECT w1, w2,
-                 (CAST(c12 AS DOUBLE) + 1.0)
-                   / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) AS prob
-          FROM c12 JOIN c1 USING (w1), v),
+        WITH $bigramLmSql,
         per AS (
           SELECT e.doc_id,
                  count(*) AS n_trans,
@@ -1983,7 +1999,12 @@ object TextQueries {
       "llm_bm25_search",
       (s, d) => {
         val terms = Seq("dup", "vector", "batch")
-        val toks = toksAll(col("text"))
+        // NULL text folds to '' (round 18 review): size(toksAll(NULL)) is
+        // -1 under the pinned non-ANSI config and would enter Σdl, while
+        // DuckDB's sum skips NULL — one NULL doc would shift avgdl and
+        // hash-poison EVERY document's score. '' scores dl = 0, tf = 0 in
+        // both engines.
+        val toks = toksAll(coalesce(col("text"), lit("")))
         val t = Tables.documents(s, d)
           .select(col("doc_id") +: size(toks).cast("bigint").as("dl") +:
             terms.zipWithIndex.map { case (w, i) =>
@@ -2015,7 +2036,7 @@ object TextQueries {
                  len(list_filter($toksAllDuck, x -> x = 'dup')) AS tf0,
                  len(list_filter($toksAllDuck, x -> x = 'vector')) AS tf1,
                  len(list_filter($toksAllDuck, x -> x = 'batch')) AS tf2
-          FROM documents),
+          FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         s AS (
           SELECT count(*) AS n, sum(dl) AS sumdl,
                  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,

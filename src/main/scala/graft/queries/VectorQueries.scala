@@ -112,6 +112,88 @@ object VectorQueries {
     * with the negation on the exact BIGINT id, never the double.
     */
   private[graft] val HierSupProbe = 4
+  /** Shared quantize + assign + centroid + score stages for
+    * llm_cluster_sample / llm_diversity_prune (round-18 review): the
+    * per-vector (c_id, vec_id, dist2) table — persisted q ⋈ cell (the
+    * two consumers share ONE assignment+quantization pass), centroid-
+    * update means re-assembled dim-ordered, dist² via the bit-identical
+    * DotProduct-over-diff. One definition so the quantization cannot
+    * fork between the two rows — their identical subplans (and the
+    * CacheManager persist sharing when both run in a session) are now
+    * structural, not textual luck.
+    */
+  private def quantizedDist2(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (e, _, cell, _) = hierIndex(s, d)
+    val q = e
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("scale"))
+      .select(col("vec_id"),
+        when(col("scale") > 0,
+          transform(col("v"),
+            x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+          .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+      // Consumed twice (centroid build + scoring pass) — persist so
+      // the two-level assignment and the quantization run ONCE;
+      // released by Cleanup like the other corpus-scale intermediates.
+      .join(cell, "vec_id")
+      .persist()
+    // Centroid-update means per cell, re-assembled into a dim-ordered
+    // array (struct sort on (dim, mean) — dim leads, so the order is
+    // exactly 0..63).
+    val cents = q
+      .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
+      .groupBy(col("c_id"), col("dim"))
+      .agg((sum(col("qc")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("c_id"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("cm"))
+    q.join(broadcast(cents), "c_id")
+      .select(col("c_id"), col("vec_id"),
+        VectorOps.dot(
+          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
+          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
+          .as("dist2"))
+  }
+
+  /** The DuckDB spelling of [[quantizedDist2]] — hierCellsSql plus the
+    * shared sc → qv → x → cm → cma → scored CTE chain both oracles
+    * open with.
+    */
+  private def quantizedDist2Sql = s"""$hierCellsSql,
+        sc AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN sc.scale > 0
+                   THEN list_transform(e.v,
+                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM e JOIN sc USING (vec_id)),
+        x AS (
+          SELECT cell.c_id, qv.vec_id, r.i AS dim, qv.q[r.i + 1] AS qc
+          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i)),
+        cm AS (
+          SELECT c_id, dim,
+                 CAST(sum(qc) AS DOUBLE) / count(*) AS m
+          FROM x GROUP BY c_id, dim),
+        cma AS (
+          SELECT c_id, list(m ORDER BY dim) AS cm FROM cm GROUP BY c_id),
+        scored AS (
+          SELECT qv2.c_id, qv2.vec_id,
+                 list_dot_product(qv2.diff, qv2.diff) AS dist2
+          FROM (
+            SELECT cell.c_id, qv.vec_id,
+                   list_transform(range(1, 65),
+                     i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]) AS diff
+            FROM qv
+            JOIN cell USING (vec_id)
+            JOIN cma ON cma.c_id = cell.c_id) qv2)"""
+
   private def hierIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val e = vecs(s, d).persist()
@@ -929,76 +1011,15 @@ object VectorQueries {
     Q(
       "llm_cluster_sample",
       (s, d) => {
-        val (e, _, cell, _) = hierIndex(s, d)
-        val q = e
-          .select(col("vec_id"), col("v"),
-            array_max(transform(col("v"), x => abs(x))).as("scale"))
-          .select(col("vec_id"),
-            when(col("scale") > 0,
-              transform(col("v"),
-                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
-              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
-          // Consumed twice (centroid build + scoring pass) — persist so
-          // the two-level assignment and the quantization run ONCE;
-          // released by Cleanup like the other corpus-scale intermediates.
-          .join(cell, "vec_id")
-          .persist()
-        // Centroid-update means per cell, re-assembled into a dim-ordered
-        // array (struct sort on (dim, mean) — dim leads, so the order is
-        // exactly 0..63).
-        val cents = q
-          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
-          .groupBy(col("c_id"), col("dim"))
-          .agg((sum(col("qc")).cast("double") /
-            count(lit(1)).cast("double")).as("m"))
-          .groupBy(col("c_id"))
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
-            p => p.getField("m")).as("cm"))
         val rankW = Window.partitionBy(col("c_id"))
           .orderBy(col("dist2").asc, col("vec_id"))
-        q.join(broadcast(cents), "c_id")
-          .select(col("c_id"), col("vec_id"),
-            VectorOps.dot(
-              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
-              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
-              .as("dist2"))
+        quantizedDist2(s, d)
           .withColumn("rk", row_number().over(rankW))
           .where(col("rk") <= 8)
           .select(col("c_id"), col("rk"), col("vec_id"), col("dist2"))
           .orderBy(col("c_id"), col("rk"))
       },
-      oracle = Some(s"""$hierCellsSql,
-        sc AS (
-          SELECT vec_id,
-                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
-          FROM e),
-        qv AS (
-          SELECT e.vec_id,
-                 CASE WHEN sc.scale > 0
-                   THEN list_transform(e.v,
-                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
-                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
-                 END AS q
-          FROM e JOIN sc USING (vec_id)),
-        x AS (
-          SELECT cell.c_id, qv.vec_id, r.i AS dim, qv.q[r.i + 1] AS qc
-          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i)),
-        cm AS (
-          SELECT c_id, dim,
-                 CAST(sum(qc) AS DOUBLE) / count(*) AS m
-          FROM x GROUP BY c_id, dim),
-        cma AS (
-          SELECT c_id, list(m ORDER BY dim) AS cm FROM cm GROUP BY c_id),
-        scored AS (
-          SELECT qv2.c_id, qv2.vec_id,
-                 list_dot_product(qv2.diff, qv2.diff) AS dist2
-          FROM (
-            SELECT cell.c_id, qv.vec_id,
-                   list_transform(range(1, 65),
-                     i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]) AS diff
-            FROM qv
-            JOIN cell USING (vec_id)
-            JOIN cma ON cma.c_id = cell.c_id) qv2),
+      oracle = Some(s"""$quantizedDist2Sql,
         ranked AS (
           SELECT c_id, vec_id, dist2,
                  row_number() OVER (PARTITION BY c_id
@@ -1017,9 +1038,10 @@ object VectorQueries {
     // with its rank and keep/drop flag — the linear keep-list contract,
     // the same output shape llm_dedup_cluster established.
     //
-    // Shares llm_cluster_sample's exact quantize+assign+centroid stages
-    // (identical plans ⇒ CacheManager-shared persists when both run in a
-    // session); dist² is DotProduct(diff, diff) — the accumulation PROVEN
+    // Shares llm_cluster_sample's quantize+assign+centroid stages via
+    // quantizedDist2 (one definition — identical plans and the
+    // CacheManager-shared persist are structural, round-18 review);
+    // dist² is DotProduct(diff, diff) — the accumulation PROVEN
     // bit-identical across engines — and the rank orders (dist2 DESC,
     // vec_id) so ties are deterministic. The budget ⌈0.3·n⌉ uses one
     // double mul + ceil, IEEE-identical in DuckDB; n rides the SAME
@@ -1033,34 +1055,10 @@ object VectorQueries {
     Q(
       "llm_diversity_prune",
       (s, d) => {
-        val (e, _, cell, _) = hierIndex(s, d)
-        val q = e
-          .select(col("vec_id"), col("v"),
-            array_max(transform(col("v"), x => abs(x))).as("scale"))
-          .select(col("vec_id"),
-            when(col("scale") > 0,
-              transform(col("v"),
-                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
-              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
-          .join(cell, "vec_id")
-          .persist()
-        val cents = q
-          .select(col("c_id"), posexplode(col("q")).as(Seq("dim", "qc")))
-          .groupBy(col("c_id"), col("dim"))
-          .agg((sum(col("qc")).cast("double") /
-            count(lit(1)).cast("double")).as("m"))
-          .groupBy(col("c_id"))
-          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
-            p => p.getField("m")).as("cm"))
         val rankW = Window.partitionBy(col("c_id"))
           .orderBy(col("dist2").desc, col("vec_id"))
         val cntW = Window.partitionBy(col("c_id"))
-        q.join(broadcast(cents), "c_id")
-          .select(col("c_id"), col("vec_id"),
-            VectorOps.dot(
-              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
-              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
-              .as("dist2"))
+        quantizedDist2(s, d)
           .select(col("c_id"), col("vec_id"), col("dist2"),
             row_number().over(rankW).as("rk"),
             count(lit(1)).over(cntW).as("n_cell"))
@@ -1068,38 +1066,7 @@ object VectorQueries {
             (col("rk") <= ceil(col("n_cell") * lit(0.3d))).as("kept"))
           .orderBy(col("c_id"), col("rk"))
       },
-      oracle = Some(s"""$hierCellsSql,
-        sc AS (
-          SELECT vec_id,
-                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
-          FROM e),
-        qv AS (
-          SELECT e.vec_id,
-                 CASE WHEN sc.scale > 0
-                   THEN list_transform(e.v,
-                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
-                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
-                 END AS q
-          FROM e JOIN sc USING (vec_id)),
-        x AS (
-          SELECT cell.c_id, qv.vec_id, r.i AS dim, qv.q[r.i + 1] AS qc
-          FROM qv JOIN cell USING (vec_id), range(0, 64) r(i)),
-        cm AS (
-          SELECT c_id, dim,
-                 CAST(sum(qc) AS DOUBLE) / count(*) AS m
-          FROM x GROUP BY c_id, dim),
-        cma AS (
-          SELECT c_id, list(m ORDER BY dim) AS cm FROM cm GROUP BY c_id),
-        scored AS (
-          SELECT qv2.c_id, qv2.vec_id,
-                 list_dot_product(qv2.diff, qv2.diff) AS dist2
-          FROM (
-            SELECT cell.c_id, qv.vec_id,
-                   list_transform(range(1, 65),
-                     i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]) AS diff
-            FROM qv
-            JOIN cell USING (vec_id)
-            JOIN cma ON cma.c_id = cell.c_id) qv2),
+      oracle = Some(s"""$quantizedDist2Sql,
         ranked AS (
           SELECT c_id, vec_id, dist2,
                  row_number() OVER (PARTITION BY c_id

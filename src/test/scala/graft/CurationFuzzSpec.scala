@@ -62,9 +62,11 @@ class CurationFuzzSpec extends GraftSpec {
     // surface (norm-key dedup, PII scrub, quality/repetition lambdas,
     // sample predicate) through the adversarial inputs at once — NULL
     // text keys to '' and must attribute 'quality' (no tokens, no
-    // score) in both engines, one-token docs must be non-repetitive
-    // without evaluating the bigram lambda, empty-split fragments must
-    // not shift the dedup key.
+    // score) in both engines — exercised by the PLANTED-NULL test below,
+    // not this corpus (it can't carry NULL text; see the seq_pack test's
+    // note) — one-token docs must be non-repetitive without evaluating
+    // the bigram lambda, empty-split fragments must not shift the dedup
+    // key.
     "llm_pipeline_curate",
     // Near-dup family (round-8 verdict #4): same tokenize/md5/list
     // adversarial surface as the rows above, plus the 0/0-Jaccard edge
@@ -237,6 +239,33 @@ class CurationFuzzSpec extends GraftSpec {
           s"  spark : $s\n  duckdb: $d")
       }
     } finally con.close()
+  }
+
+  test("NULL-text docs: curate attributes 'quality' and bm25 scores dl=0 in both engines") {
+    // Round-18 review: size(regexp_extract_all(NULL)) is -1 under the
+    // pinned non-ANSI config (n_pii would read -4 vs DuckDB's NULL) and
+    // size(toksAll(NULL)) = -1 would enter bm25's Σdl while DuckDB's sum
+    // skips NULL — one NULL doc would shift avgdl and poison EVERY
+    // document's score. Both rows now fold NULL to '' before their text
+    // stages; this planted corpus pins the fold cross-engine.
+    val rows = Seq(
+      (0L, "alpha beta gamma delta", "en", "src0"),
+      (1L, null.asInstanceOf[String], "en", "src1"), // planted NULL text
+      (2L, "alpha beta gamma delta", "en", "src2"),  // dup of 0 (norm key)
+      (3L, "epsilon zeta", "fr", "src3"))
+    withCorpus("graft_null_curate", rows) { (dir, con) =>
+      for (name <- Seq("llm_pipeline_curate", "llm_bm25_search")) {
+        val q = SparkEntry.all.find(_.name == name).get
+        val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+        val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
+        assert(sCols == dCols, s"$name column mismatch")
+        assert(sRows.size == dRows.size, s"$name row-count mismatch")
+        sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+          assert(s == d, s"$name NULL-corpus row $i differs:\n" +
+            s"  spark : $s\n  duckdb: $d")
+        }
+      }
+    }
   }
 
   test("llm_seq_pack: NULL-text docs count 0 tokens in both engines") {
