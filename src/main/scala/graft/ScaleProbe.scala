@@ -154,7 +154,12 @@ object ScaleProbe {
     // table itself is vocab²-bounded on the staged clones). The train
     // row rides along: its corpus cost is the same explode + (w1, w2)
     // agg, and the top-20 head is TakeOrdered-bounded.
-    "llm_bigram_score", "llm_bigram_lm")
+    "llm_bigram_score", "llm_bigram_lm",
+    // round 18: grouped GK-sketch percentiles — one linear agg with
+    // bounded per-group sketch state; the memory-bounded claim is
+    // exactly what the wall ratio checks against the exact row's
+    // value-cardinality-bound counts table.
+    "agg_approx_percentile")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -315,6 +315,29 @@ object AggQueries {
       },
       oracle = None),
 
+    // The second sketch family next to the HLL row (round 18): grouped
+    // approximate percentiles via Spark's GK-sketch percentile_approx at
+    // accuracy 10000 (rank error ≤ 1e-4) — the memory-bounded form a
+    // 100 TB run uses where agg_percentile's exact (group, value) counts
+    // table would be value-cardinality-bound. Sketches are
+    // engine-specific, so no DuckDB oracle by design (the
+    // agg_approx_distinct precedent); the compensating check is
+    // ApproxToleranceSpec's relative-error bound against the exact
+    // percentile at two SFs.
+    Q(
+      "agg_approx_percentile",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+              .as("approx_p95"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = None),
+
     // Round-2 diagnostic finding (banked; the DECIMAL twin of this canary is
     // retired per the round-2 verdict — as a declared query it permanently
     // failed the gate): CORRECTNESS_r02 proved the driver hash is

@@ -12,6 +12,29 @@ class ApproxToleranceSpec extends GraftSpec {
   private val tol = 0.05
 
   for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
+    test(s"agg_approx_percentile within 2% of exact at $sf") {
+      // GK sketch at accuracy 10000 bounds RANK error at 1e-4; on the
+      // fixture's price distribution that is far inside a 2% VALUE
+      // bound, which is what a consumer of the percentile reads.
+      val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      val exact = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (flag, (a50, a95)) =>
+        val (e50, e95) = exact(flag)
+        assert(math.abs(a50 - e50) / e50 <= 0.02,
+          s"$flag p50: approx=$a50 exact=$e50")
+        assert(math.abs(a95 - e95) / e95 <= 0.02,
+          s"$flag p95: approx=$a95 exact=$e95")
+      }
+    }
+
     test(s"agg_approx_distinct within ${(tol * 100).toInt}% of exact at $sf") {
       val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
         .collect().head
