@@ -314,4 +314,82 @@ class OpPropertySpec extends GraftSpec {
           s"q_max=${q.max} q_sum=${q.sum} err=$err)")
     }
   }
+
+  /** Parquet-corpus helper for the round-18 properties below: writes the
+    * 4-column documents fixture shape under a temp dir (the seq_pack
+    * property's idiom, factored).
+    */
+  private def docsDir(prefix: String,
+      rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25: one extra query-term occurrence at equal length strictly raises the score") {
+    // The tf-monotonicity a retrieval row must have: docs A and B are the
+    // same length and identical except B swaps one filler token for one
+    // more 'dup' occurrence — BM25's tf term is strictly increasing in tf
+    // at fixed dl, so score(B) > score(A) whatever the df/avgdl context.
+    val dir = docsDir("graft_bm25prop", Seq(
+      (0L, "dup alpha beta gamma delta epsilon", "en", "src0"),
+      (1L, "dup dup beta gamma delta epsilon", "en", "src0"),
+      (2L, "vector batch zeta eta theta iota", "en", "src1"),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "src1")))
+    val scores = SparkEntry.queries("llm_bm25_search")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(0L),
+      s"tf 2 vs 1 at equal dl must rank higher: ${scores(1L)} <= ${scores(0L)}")
+    assert(scores(0L) > scores(3L),
+      s"one query term beats zero: ${scores(0L)} <= ${scores(3L)}")
+  }
+
+  test("split_assign: partition, determinism, and growth-stability of assignments") {
+    // The declared contract: every doc lands in exactly one split, a
+    // re-run reproduces it, and ADDING documents never moves an existing
+    // one (the salted-hash-not-rand argument) — checked by assigning a
+    // corpus and a strict superset and diffing the common ids.
+    val base = (0L until 400L).map(i =>
+      (i, s"doc $i body", if (i % 3 == 0) "en" else "fr", s"src${i % 4}"))
+    val dir1 = docsDir("graft_splitprop1", base)
+    val dir2 = docsDir("graft_splitprop2",
+      base ++ (400L until 600L).map(i => (i, s"late $i", "en", "src9")))
+    val q = SparkEntry.queries("llm_split_assign")
+    def assignments(d: String): Map[Long, String] =
+      q(spark, d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a1 = assignments(dir1)
+    val a1again = assignments(dir1)
+    val a2 = assignments(dir2)
+    assert(a1 == a1again, "re-run must reproduce the assignment exactly")
+    assert(a1.keySet == base.map(_._1).toSet, "exactly one split per doc")
+    assert(a1.forall { case (id, s) => a2(id) == s },
+      "growing the corpus must not move any existing doc between splits")
+    assert(a2.values.toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("bigram_score: bounds, and a planted unique transition is the rare one") {
+    // Bounds every fluency consumer relies on: n_rare <= n_trans,
+    // rare_frac in [0, 1], min_p in (0, 1]. Planted semantics: in a
+    // corpus where 'alpha beta' repeats across docs and doc 9 contains
+    // the corpus's ONLY 'omega psi' transition, doc 9's min_p must be
+    // the corpus minimum (the weakest link is the unique transition).
+    val common = (0L until 9L).map(i =>
+      (i, "alpha beta alpha beta alpha beta", "en", s"src${i % 2}"))
+    val dir = docsDir("graft_bgprop",
+      common :+ (9L, "alpha beta omega psi", "en", "src3"))
+    val rows = SparkEntry.queries("llm_bigram_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (id, nTrans, nRare, frac, minP) =>
+      assert(nRare <= nTrans && frac >= 0.0 && frac <= 1.0,
+        s"doc $id: n_rare $nRare / n_trans $nTrans / frac $frac")
+      assert(minP > 0.0 && minP <= 1.0, s"doc $id: min_p $minP out of range")
+    }
+    val minPs = rows.map(t => t._1 -> t._5).toMap
+    assert(minPs(9L) == minPs.values.min,
+      s"the unique-transition doc must carry the corpus-min min_p: $minPs")
+  }
 }
