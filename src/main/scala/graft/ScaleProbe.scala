@@ -159,7 +159,15 @@ object ScaleProbe {
     // bounded per-group sketch state; the memory-bounded claim is
     // exactly what the wall ratio checks against the exact row's
     // value-cardinality-bound counts table.
-    "agg_approx_percentile")
+    "agg_approx_percentile",
+    // round 18 (second session): the PQ family. Code assignment is one
+    // broadcast-expanded map pass + one N·M-row agg (linear — the wall
+    // ratio checks the map-side min_by collapse); ADC search scans N·M
+    // code rows against broadcast tables with a constant 32-query set
+    // (linear); IVF-PQ prunes the scan to the probed cell fraction, so
+    // its wall should sit UNDER llm_pq_search's as N grows — that
+    // ordering is the composition's whole claim.
+    "llm_pq_codes", "llm_pq_search", "llm_ann_ivfpq")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

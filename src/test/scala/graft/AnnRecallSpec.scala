@@ -140,4 +140,54 @@ class AnnRecallSpec extends GraftSpec {
       assert(recall >= 0.35, f"pair recall $recall%.3f below regression floor")
     }
   }
+
+  // PQ ADC recall (round 18): the PQ rows rank from 4-bit codes alone, so
+  // their ranking error is pure quantization error — the oracle hash pins
+  // the ADC arithmetic exactly but cannot say whether the CODES are any
+  // good. Recall@10 vs the exact L2 top-10 over the same 32 probes bounds
+  // that. This corpus is ANN-hostile (near-random 64-d vectors: within a
+  // subspace everything is roughly equidistant from 16 seed codewords, the
+  // hardest case for PQ — real embeddings cluster and quantize far
+  // better), so the floor is a measured-with-margin regression guard on
+  // the code assignment, not a quality claim. llm_ann_ivfpq additionally
+  // prunes to the probed ~25% cell fraction, so its recall is bounded by
+  // the IVF candidate recall × the ADC ranking recall.
+  // Measured 0.156–0.166 at both SFs (vs the 10/N ≈ 0.02 random-scan
+  // baseline — the codes carry ~8× chance-level signal even on random
+  // vectors); llm_ann_ivfpq sits ~1 point under llm_pq_search, i.e. the
+  // cell pruning costs almost nothing on top of quantization. Floor 0.12
+  // = measured min with margin.
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01);
+       (qname, floor) <- Seq(("llm_pq_search", 0.12),
+         ("llm_ann_ivfpq", 0.12))) {
+    test(s"$qname recall@10 vs exact L2 k-NN at $sf") {
+      val got = SparkEntry.queries(qname)(spark, sf)
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val probe = e.where(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val base = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id"))
+      val exact = probe.join(base, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          VectorOps.dot(
+            zip_with(col("qv"), col("nv"), (a, b) => a - b),
+            zip_with(col("qv"), col("nv"), (a, b) => a - b)).as("d2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select(col("q_id"), col("n_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+      val hits = exact.map { case (q, truth) =>
+        (got.getOrElse(q, Set.empty) & truth).size
+      }.sum
+      val total = exact.values.map(_.size).sum
+      val recall = hits.toDouble / total
+      info(f"PQ recall@10 = $recall%.3f ($hits/$total) at $sf")
+      assert(recall >= floor, f"recall@10 $recall%.3f below regression floor")
+    }
+  }
 }

@@ -679,4 +679,47 @@ class PlanAuditSpec extends GraftSpec {
         s"$q: probe-bound query-vector attachment should stay broadcast:\n${p.take(3000)}")
     }
   }
+
+  test("llm_pq_codes: one corpus exchange (the min_by agg), codebook broadcast") {
+    // The codebook is M·K = 128 rows BY CONSTRUCTION — the broadcast must
+    // survive auto-broadcast-off (it is hinted, i.e. promised bounded);
+    // the N·M·K scored expansion must collapse map-side, leaving exactly
+    // one hash exchange (the (vec_id, m) agg) plus the oracle-ordering
+    // range exchange.
+    val p = planNoAutoBroadcast("llm_pq_codes")
+    assert(p.contains("BroadcastExchange"),
+      s"codebook must broadcast under threshold=-1:\n${p.take(3000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (the code agg), got $hashEx:\n${p.take(3000)}")
+  }
+
+  test("llm_pq_search: ADC scores via broadcast dt, corpus codes never broadcast") {
+    // The distance tables are PqProbeMax·M·K rows (hinted, bounded); the
+    // corpus-side code rows must reach the join map-side so the partial
+    // collect_list collapses to one row per (q, vec) BEFORE the only
+    // corpus exchange; top-10 per query must prune as WindowGroupLimit
+    // heaps before the window exchange.
+    val p = planNoAutoBroadcast("llm_pq_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"dt attachment must be a broadcast hash join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join belongs in the ADC scan:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune as WindowGroupLimit heaps:\n${p.take(3000)}")
+  }
+
+  test("llm_ann_ivfpq: cell membership shuffles, only index-scale sides broadcast") {
+    // probes ⋈ cell on c_id carries the FULL corpus on the cell side —
+    // broadcasting it is the multi-TB mistake the ivfKnn discipline
+    // forbids; under threshold=-1 it must plan as a shuffle join. The
+    // hinted broadcasts (centroids, codebook, distance tables) all stay.
+    val p = planNoAutoBroadcast("llm_ann_ivfpq")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"cell membership must shuffle-join:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the hinted index-scale sides should broadcast:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune as WindowGroupLimit heaps:\n${p.take(3000)}")
+  }
 }

@@ -35,7 +35,10 @@ class VectorFuzzSpec extends GraftSpec {
     "llm_emb_quant",          // zero-vector scale branch
     "llm_kmeans_update",      // exact sums over clones + zeros
     "llm_cluster_sample",     // distance ties among clones (vec_id break)
-    "llm_diversity_prune")    // DESC-rank ties among clones + ⌈0.3·n⌉ budget
+    "llm_diversity_prune",    // DESC-rank ties among clones + ⌈0.3·n⌉ budget
+    "llm_pq_codes",           // argmin code ties among clones ((d², k) break)
+    "llm_pq_search",          // ADC rank ties among clones (vec_id break)
+    "llm_ann_ivfpq")          // cell-pruned ADC over the same tie surface
 
   test("clone/zero/near-clone embedding corpus: vector rows agree with DuckDB") {
     val rnd = new Random(0x5EED15)
