@@ -162,12 +162,22 @@ object ScaleProbe {
     "agg_approx_percentile",
     // round 18 (second session): the PQ family. Code assignment is one
     // broadcast-expanded map pass + one N·M-row agg (linear — the wall
-    // ratio checks the map-side min_by collapse); ADC search scans N·M
-    // code rows against broadcast tables with a constant 32-query set
-    // (linear); IVF-PQ prunes the scan to the probed cell fraction, so
-    // its wall should sit UNDER llm_pq_search's as N grows — that
-    // ordering is the composition's whole claim.
-    "llm_pq_codes", "llm_pq_search", "llm_ann_ivfpq")
+    // ratio checks the map-side min_by collapse; measured 1.44× at
+    // 100×); ADC search scans N·M code rows against broadcast tables
+    // with a constant 32-query set (linear; 34.9× at 100×); IVF-PQ
+    // prunes the ADC tail to the probed cell fraction but pays the
+    // O(N·N^(1/4)) hier assignment INLINE, which at a 32-query set
+    // costs more than the ~4× tail pruning saves (43.2× vs 34.9× at
+    // 100× [MEASURED r18]) — in production the index build amortizes
+    // over millions of queries, the declared row prices it per-run; the
+    // probe checks both stay in the linear family, not their ordering.
+    "llm_pq_codes", "llm_pq_search", "llm_ann_ivfpq",
+    // round 18 (second session): cross-split leakage — two map-only
+    // corpus passes + one key-reduced shuffle join, answer-bound output;
+    // staged clones multiply the dup groups linearly (clone copies get
+    // fresh doc_ids → fresh split draws), so the wall ratio checks the
+    // single-join linear claim directly.
+    "llm_split_leakage")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

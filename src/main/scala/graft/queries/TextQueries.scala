@@ -2081,26 +2081,89 @@ object TextQueries {
     Q(
       "llm_split_assign",
       (s, d) => {
-        val key = conv(substring(md5(
-            concat(lit("graft-split-v1:"), col("doc_id").cast("string"))),
-            1, 15), 16, 10).cast("bigint")
-        val u = key.cast("double") / lit(1152921504606846976L) // 2^60
         Tables.documents(s, d)
-          .select(col("doc_id"),
-            when(u < 0.90, "train")
-              .when(u < 0.95, "valid")
-              .otherwise("test").as("split"))
+          .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
           .orderBy(col("doc_id"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT doc_id,
-               CASE WHEN u < 0.90 THEN 'train'
-                    WHEN u < 0.95 THEN 'valid'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id,
-                     ('0x' || substr(md5('graft-split-v1:'
-                         || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                       / 1152921504606846976.0 AS u
-              FROM documents)
-        ORDER BY doc_id""")))
+               $splitOfDuck AS split
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // H (round 18, second session): CROSS-SPLIT LEAKAGE AUDIT — the
+    // decontamination check every training run performs AFTER splitting:
+    // an eval (valid/test) document whose normalized text also appears in
+    // train is leaked — its eval loss measures memorization, not
+    // generalization (the split-internal twin of llm_contamination's
+    // external-benchmark check). Composes llm_split_assign's
+    // deterministic salted-md5 split with llm_dedup_norm's canonical key
+    // (both via the SHARED helpers, so the three rows cannot drift);
+    // output is one row per LEAKED eval doc with its split, the smallest
+    // train doc_id sharing the key (the attribution a cleanup job
+    // deletes or re-splits by), and the train-side multiplicity.
+    //
+    // Scale shape: both sides are map-only corpus projections; the train
+    // side reduces to ONE row per key (map-side partial agg) before the
+    // join; the key join is a hash-shuffle equi-join — BOTH sides are
+    // corpus-bound, so neither may broadcast (pinned under threshold=-1,
+    // the stream_incr_dedup discipline). Output is answer-bound (leaked
+    // eval docs only). Nothing quadratic at any corpus size.
+    Q(
+      "llm_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+            LlmQueries.normKey(col("text")).as("key"))
+        val train = docs.where(col("split") === "train")
+          .groupBy(col("key"))
+          .agg(min(col("doc_id")).as("leak_src"),
+            count(lit(1)).as("n_train"))
+        docs.where(col("split") =!= "train")
+          .join(train, "key")
+          .select(col("doc_id"), col("split"), col("leak_src"),
+            col("n_train"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 $splitOfDuck AS split,
+                 ${LlmQueries.normKeyDuckOn("text")} AS key
+          FROM documents),
+        tr AS (
+          SELECT key, min(doc_id) AS leak_src, count(*) AS n_train
+          FROM t WHERE split = 'train' GROUP BY key)
+        SELECT t.doc_id, t.split, tr.leak_src, tr.n_train
+        FROM t JOIN tr USING (key)
+        WHERE t.split <> 'train'
+        ORDER BY t.doc_id""")))
+
+  /** llm_split_assign's deterministic 90/5/5 split — the salted-md5
+    * uniform key mapped through the fixed thresholds, factored out
+    * (round 18, second session) so the leakage audit cannot fork from
+    * the assignment it audits. NOT rand(): retries keep assignments,
+    * adding documents never moves existing ones, the oracle agrees
+    * bit-for-bit.
+    */
+  private def splitOf(docId: Column): Column = {
+    val key = conv(substring(md5(
+        concat(lit("graft-split-v1:"), docId.cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    val u = key.cast("double") / lit(1152921504606846976L) // 2^60
+    when(u < 0.90, "train").when(u < 0.95, "valid").otherwise("test")
+  }
+
+  /** The DuckDB spelling of [[splitOf]] over the `doc_id` column — a def,
+    * not a val: `defs` above is a strict val whose oracle strings are
+    * built at object init, before any later val would be assigned.
+    */
+  private def splitOfDuck: String =
+    """CASE WHEN ('0x' || substr(md5('graft-split-v1:'
+      |             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           / 1152921504606846976.0 < 0.90 THEN 'train'
+      |      WHEN ('0x' || substr(md5('graft-split-v1:'
+      |             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           / 1152921504606846976.0 < 0.95 THEN 'valid'
+      |      ELSE 'test' END""".stripMargin
 }

@@ -84,6 +84,13 @@ class CurationFuzzSpec extends GraftSpec {
     // the oracle), and the r=2 banding must keep recall 1 on the 16-word
     // vocabulary's compressed jaccard range.
     "llm_minhash_tau_sweep",
+    // Cross-split leakage (r18, second session): the fuzz corpus's
+    // identical sentences form multi-member norm-key groups whose
+    // members the salted split scatters across train/valid/test, so the
+    // leak join genuinely fires; empty/whitespace docs all share the ''
+    // key (one giant group) and NULL-less short docs exercise the
+    // 8-token prefix key edge exactly as llm_dedup_norm does.
+    "llm_split_leakage",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|

@@ -680,6 +680,18 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("llm_split_leakage: the train-key join shuffles, neither side broadcasts") {
+    // Both join inputs are corpus-bound (eval docs ~10% of corpus, train
+    // keys up to 90%) — a broadcast on either side is the multi-TB
+    // mistake; under threshold=-1 the key join must plan as a shuffle
+    // join with the train side already reduced to one row per key.
+    val p = planNoAutoBroadcast("llm_split_leakage")
+    assert(!p.contains("BroadcastExchange"),
+      s"no side of the leak join may broadcast (both corpus-bound):\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the key join must shuffle:\n${p.take(3000)}")
+  }
+
   test("llm_pq_codes: one corpus exchange (the min_by agg), codebook broadcast") {
     // The codebook is M·K = 128 rows BY CONSTRUCTION — the broadcast must
     // survive auto-broadcast-off (it is hinted, i.e. promised bounded);
