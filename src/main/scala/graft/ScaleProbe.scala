@@ -177,7 +177,12 @@ object ScaleProbe {
     // staged clones multiply the dup groups linearly (clone copies get
     // fresh doc_ids → fresh split draws), so the wall ratio checks the
     // single-join linear claim directly.
-    "llm_split_leakage")
+    "llm_split_leakage",
+    // round 18 (second session): the salted skew join — one dim agg, one
+    // salted SMJ, one post-join agg, all linear; the wall ratio checks
+    // that widening the key to (event_type, salt) keeps the shuffles
+    // balanced as the hot keys grow 100×.
+    "join_skew_salted")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -276,5 +276,59 @@ object JoinQueries {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
         GROUP BY 1
-        ORDER BY m""")))
+        ORDER BY m""")),
+
+    // C beyond (round 18, second session): SALTED SKEW JOIN — the
+    // hand-salting pattern the brief names next to AQE for skew
+    // mitigation. events ⋈ per-type stats joins on event_type, a
+    // FIVE-value key: unsalted, every shuffle partition beyond five is
+    // idle and each hot key's full 20% of the corpus lands on ONE task —
+    // the straggler that kills wall-clock at 100 TB. The deterministic
+    // fix demonstrated here: fact side salts with pmod(event_id, 8), the
+    // dim side replicates ×8 via explode, the join key becomes
+    // (event_type, salt) — 40 balanced partitions instead of 5 skewed
+    // ones. This is the pattern for the cases AQE skew-split CANNOT
+    // reach (stateful streaming joins; aggregations pinned to the join
+    // partitioning); where AQE applies it composes. The oracle replays
+    // the UNSALTED join — salting must be result-invariant, which is
+    // exactly what the hash check proves. hint("merge") pins the salted
+    // SMJ so sf-scale auto-broadcast can't silently erase the
+    // demonstration (the dim side is per-key stats: tiny HERE, but the
+    // pattern targets dims too big to broadcast).
+    //
+    // The per-type mean uses the stream_tumbling decimal discipline:
+    // DECIMAL(18,2) sums are exact and shuffle-order-free, then ONE
+    // IEEE division — identical in both engines where a double sum
+    // would hash-diverge on accumulation order.
+    Q(
+      "join_skew_salted",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.groupBy(col("event_type"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_v"))
+          .select(col("event_type"), col("avg_v"),
+            explode(sequence(lit(0L), lit(7L))).as("salt"))
+        val fact = ev.select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(8L)).as("salt"))
+        fact.join(dim.hint("merge"), Seq("event_type", "salt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("value") > col("avg_v"), 1L).otherwise(0L))
+              .cast("bigint").as("n_above"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_v
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN e.value > dim.avg_v
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        FROM events e JOIN dim USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")))
 }

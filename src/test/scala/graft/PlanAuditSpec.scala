@@ -680,6 +680,19 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("join_skew_salted: the join keys on (event_type, salt), not event_type alone") {
+    // The whole demonstration is the widened key: the SMJ (merge-hinted,
+    // so sf-scale auto-broadcast can't erase it) must list the salt in
+    // its join keys and the exchanges must hash-partition on it — a
+    // 5-value event_type partitioning is the straggler the row exists
+    // to prevent.
+    val p = plan("join_skew_salted")
+    assert("SortMergeJoin \\[event_type#\\d+, salt#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"the SMJ must key on (event_type, salt):\n${p.take(3000)}")
+    assert("hashpartitioning\\(event_type#\\d+, salt#\\d+L?".r.findFirstIn(p).isDefined,
+      s"the shuffle must partition on the salted key:\n${p.take(3000)}")
+  }
+
   test("llm_split_leakage: the train-key join shuffles, neither side broadcasts") {
     // Both join inputs are corpus-bound (eval docs ~10% of corpus, train
     // keys up to 90%) — a broadcast on either side is the multi-TB
