@@ -182,7 +182,13 @@ object ScaleProbe {
     // salted SMJ, one post-join agg, all linear; the wall ratio checks
     // that widening the key to (event_type, salt) keeps the shuffles
     // balanced as the hot keys grow 100×.
-    "join_skew_salted")
+    "join_skew_salted",
+    // round 18 (second session): BPE merge training — one corpus-linear
+    // word agg, then VOCAB-bound pair enumeration + alphabet²-bound agg
+    // (staged clones multiply word counts, not the vocabulary, so the
+    // wall ratio checks the histogram-weighting claim directly: the
+    // post-histogram stages should barely move).
+    "llm_bpe_merges")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

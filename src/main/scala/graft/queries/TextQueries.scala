@@ -2078,6 +2078,62 @@ object TextQueries {
     // Scale shape: map-only, ZERO shuffles at any corpus size (the
     // oracle-ordering Exchange aside) — the split is a pure per-row
     // function of doc_id.
+    // H (round 18, second session): BPE MERGE TRAINING — the first
+    // iteration of byte-pair-encoding tokenizer training (Sennrich et al.
+    // 2016; the algorithm behind GPT-2/RoBERTa vocabularies): count
+    // adjacent symbol pairs over the corpus and rank merge candidates.
+    // The trainable-at-scale trick is HISTOGRAM WEIGHTING — pairs are
+    // enumerated once per DISTINCT word and weighted by the word's corpus
+    // frequency, so after the first (linear, map-side-partial) word agg,
+    // every downstream stage is VOCAB-bound, not corpus-bound: the pair
+    // enumeration touches Σ|distinct word| characters, the pair agg state
+    // is alphabet²-bound, and the top-20 plans as TakeOrderedAndProject
+    // heaps. One corpus-scale shuffle total. Production iterates this row
+    // with the winning pair merged into the symbol table; each iteration
+    // is this same vocab-bound shape.
+    //
+    // The pair enumeration guards 0/1-char words explicitly: Spark's
+    // sequence(1, 0) is a DESCENDING sequence (not empty!), so the
+    // transform sits behind an if(length < 2) — DuckDB's range(1, 1) is
+    // genuinely empty and needs no guard.
+    Q(
+      "llm_bpe_merges",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(filter(split(lower(col("text")), " "),
+            t => t =!= "")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        words
+          .select(col("n"), explode(expr(
+            """if(length(w) < 2, array(),
+              |   transform(sequence(1, length(w) - 1),
+              |     i -> struct(substring(w, i, 1) AS a,
+              |                 substring(w, i + 1, 1) AS b)))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).cast("bigint").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) AS w
+            FROM documents) GROUP BY w),
+        -- scalar range() + select-list unnest: DuckDB's range TABLE
+        -- function rejects lateral column parameters.
+        p AS (
+          SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, n
+          FROM (
+            SELECT w.w AS w, w.n AS n,
+                   CAST(unnest(range(1, length(w.w))) AS INTEGER) AS i
+            FROM w))
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+        FROM p GROUP BY a, b
+        ORDER BY cnt DESC, a, b
+        LIMIT 20""")),
+
     Q(
       "llm_split_assign",
       (s, d) => {

@@ -91,6 +91,13 @@ class CurationFuzzSpec extends GraftSpec {
     // key (one giant group) and NULL-less short docs exercise the
     // 8-token prefix key edge exactly as llm_dedup_norm does.
     "llm_split_leakage",
+    // BPE merge training (r18, second session): the fuzz corpus's
+    // unicode/punctuation tokens exercise character-level substr
+    // agreement between the engines (multibyte chars must count as ONE
+    // symbol on both sides), 1-char words must vanish from the pair
+    // enumeration (the sequence(1,0)-descending guard), and the dup-heavy
+    // sentences make the histogram weighting observable.
+    "llm_bpe_merges",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|

@@ -680,6 +680,18 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("llm_bpe_merges: vocab-bound after the word histogram, top-k as heaps") {
+    // The histogram-weighting claim: after the one corpus-scale word agg,
+    // everything is vocab/alphabet-bound — no join anywhere (a join would
+    // mean the pair stage re-touches the corpus), and the merge ranking
+    // must plan as TakeOrderedAndProject heaps, not a global sort.
+    val p = plan("llm_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 merges must plan as TakeOrderedAndProject:\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"no join belongs in the BPE count pipeline:\n${p.take(3000)}")
+  }
+
   test("join_skew_salted: the join keys on (event_type, salt), not event_type alone") {
     // The whole demonstration is the widened key: the SMJ (merge-hinted,
     // so sf-scale auto-broadcast can't erase it) must list the salt in
