@@ -188,7 +188,11 @@ object ScaleProbe {
     // (staged clones multiply word counts, not the vocabulary, so the
     // wall ratio checks the histogram-weighting claim directly: the
     // post-histogram stages should barely move).
-    "llm_bpe_merges")
+    "llm_bpe_merges",
+    // round 18 (second session): the PQ distortion audit — same
+    // broadcast-expansion + two bounded aggs as llm_pq_codes, one row
+    // per vector out; should track llm_pq_codes' flat curve.
+    "llm_pq_recon")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

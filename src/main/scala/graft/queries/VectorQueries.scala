@@ -1451,5 +1451,56 @@ object VectorQueries {
           FROM ds)
         SELECT q_id, nn_rank, vec_id, adist FROM ranked
         WHERE nn_rank <= $PqTopK
-        ORDER BY q_id, nn_rank""")))
+        ORDER BY q_id, nn_rank""")),
+
+    // H (round 18, second session): PQ DISTORTION AUDIT — the number a
+    // production deployment reports before committing to a codebook (and
+    // the llm_emb_quant twin for the PQ path): per-vector reconstruction
+    // error ‖v − recon(codes)‖², which is exactly the sum of the
+    // per-subspace argmin distances (the codeword IS the sub-vector's
+    // reconstruction), plus ‖v‖² so the relative distortion is one
+    // division away downstream. The M-term sum rides the same ordered
+    // ones-vector DotProduct as the ADC rows, and ‖v‖² is the proven
+    // bit-identical primitive — every number here hash-checks.
+    //
+    // Scale shape: the same broadcast-codebook map expansion as
+    // llm_pq_codes, one (vec_id, m) agg carrying first(l2sq) map-side
+    // (every scored row of a vector carries the same ‖v‖², the hierIndex
+    // first() idiom — no corpus join-back), one (vec_id) re-agg of the
+    // already-N·M-bounded table. Linear, zero joins.
+    Q(
+      "llm_pq_recon",
+      (s, d) => {
+        val (e, cb, _) = pqIndex(s, d)
+        e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("m"),
+            pqD2(pqSub(col("v"), col("m")), col("cvec")).as("d2"),
+            VectorOps.dot(col("v"), col("v")).as("l2sq"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(col("d2")).as("d2m"), first(col("l2sq")).as("l2sq"))
+          .groupBy(col("vec_id"))
+          .agg(transform(sort_array(collect_list(struct(col("m"),
+              col("d2m").as("dq")))), p => p.getField("dq")).as("ds"),
+            first(col("l2sq")).as("l2sq"))
+          .select(col("vec_id"),
+            VectorOps.dot(col("ds"),
+              array(Seq.fill(PqM)(lit(1.0d)): _*)).as("recon_err"),
+            col("l2sq"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $pqCodesSql,
+        dm AS (
+          SELECT vec_id, m, min(d2) AS d2m
+          FROM pqsc GROUP BY vec_id, m),
+        dv AS (
+          SELECT vec_id, list(d2m ORDER BY m) AS ds FROM dm
+          GROUP BY vec_id)
+        SELECT dv.vec_id,
+               list_dot_product(dv.ds, $pqOnesSql) AS recon_err,
+               list_dot_product(e.v, e.v) AS l2sq
+        FROM dv JOIN e ON e.vec_id = dv.vec_id
+        ORDER BY dv.vec_id""")))
 }
