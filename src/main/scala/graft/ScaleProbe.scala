@@ -192,7 +192,12 @@ object ScaleProbe {
     // round 18 (second session): the PQ distortion audit — same
     // broadcast-expansion + two bounded aggs as llm_pq_codes, one row
     // per vector out; should track llm_pq_codes' flat curve.
-    "llm_pq_recon")
+    "llm_pq_recon",
+    // round 18 (second session): the percentile length trim — the counts
+    // table collapses map-side to |distinct (lang, len)| rows, the
+    // window runs over THAT, and the bounds join is lang-bounded; the
+    // wall ratio checks the corpus never reaches a window.
+    "llm_outlier_docs")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

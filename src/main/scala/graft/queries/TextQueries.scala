@@ -2078,6 +2078,44 @@ object TextQueries {
     // Scale shape: map-only, ZERO shuffles at any corpus size (the
     // oracle-ordering Exchange aside) — the split is a pure per-row
     // function of doc_id.
+    // H (round 18, second session): ROBUST LENGTH-OUTLIER FILTER — the
+    // per-language percentile trim every curation pipeline applies before
+    // the content heuristics: a doc whose length falls outside its
+    // LANGUAGE's [p05, p95] band is flagged (absolute thresholds misfire
+    // across languages — CJK chars carry ~2.5× the information of Latin
+    // ones, so per-lang quantiles are the robust, distribution-free
+    // form; Tukey's 1.5·IQR fences were considered and rejected — on
+    // short-tailed length distributions they never fire, making the flag
+    // output-neutral, while the percentile trim flags its tail mass by
+    // construction). Quantiles ride agg_percentile's PROVEN counts-table
+    // interpolation (0-based rank/frac, bit-identical to DuckDB
+    // quantile_cont); the band comparison is the same fixed-order IEEE
+    // expression on both engines. One row per doc with the flag — the
+    // keep-list contract.
+    //
+    // Scale shape: the counts table collapses the corpus map-side to
+    // |distinct (lang, len)| rows; the window runs over THAT, not raw
+    // docs; the per-lang bounds table is #langs rows (index-scale,
+    // broadcast); the flag join is map-side. Two linear corpus scans,
+    // zero corpus-scale shuffles beyond the counts agg.
+    Q(
+      "llm_outlier_docs",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("docs_outlier")
+        s.sql(TextQueries.outlierSql)
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT lang,
+                 quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+                 quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+          FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars,
+               (CAST(d.n_chars AS DOUBLE) < b.p05
+                OR CAST(d.n_chars AS DOUBLE) > b.p95) AS outlier
+        FROM documents d JOIN b USING (lang)
+        ORDER BY d.doc_id""")),
+
     // H (round 18, second session): BPE MERGE TRAINING — the first
     // iteration of byte-pair-encoding tokenizer training (Sennrich et al.
     // 2016; the algorithm behind GPT-2/RoBERTa vocabularies): count
@@ -2208,6 +2246,42 @@ object TextQueries {
         1, 15), 16, 10).cast("bigint")
     val u = key.cast("double") / lit(1152921504606846976L) // 2^60
     when(u < 0.90, "train").when(u < 0.95, "valid").otherwise("test")
+  }
+
+  /** llm_outlier_docs' Spark-side SQL: agg_percentile's counts-table
+    * quantile interpolation (0-based rank/frac — bit-identical to DuckDB
+    * quantile_cont) grouped by lang, then the Tukey-fence flag join. A
+    * def for the same object-init reason as splitOfDuck.
+    */
+  private[graft] def outlierSql: String = {
+    def pick(p: String, tag: String) = s"""
+         min(CASE WHEN cum >= 1 + CAST(floor((n - 1) * $p) AS BIGINT) THEN x END) AS lo$tag,
+         min(CASE WHEN cum >= 2 + CAST(floor((n - 1) * $p) AS BIGINT) THEN x END) AS hi$tag,
+         max((n - 1) * $p - floor((n - 1) * $p)) AS fr$tag"""
+    def interp(tag: String) =
+      s"CASE WHEN fr$tag = 0 THEN lo$tag ELSE lo$tag + (hi$tag - lo$tag) * fr$tag END"
+    s"""
+      WITH counts AS (
+        SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x, count(*) AS c
+        FROM docs_outlier WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      ranked AS (
+        SELECT g, x,
+               sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM counts),
+      picks AS (
+        SELECT g, ${pick("0.05", "05")}, ${pick("0.95", "95")}
+        FROM ranked GROUP BY g),
+      b AS (
+        SELECT g AS lang,
+               ${interp("05")} AS p05,
+               ${interp("95")} AS p95
+        FROM picks)
+      SELECT d.doc_id, d.lang, d.n_chars,
+             (CAST(d.n_chars AS DOUBLE) < b.p05
+              OR CAST(d.n_chars AS DOUBLE) > b.p95) AS outlier
+      FROM docs_outlier d JOIN b ON d.lang = b.lang
+      ORDER BY d.doc_id"""
   }
 
   /** The DuckDB spelling of [[splitOf]] over the `doc_id` column — a def,

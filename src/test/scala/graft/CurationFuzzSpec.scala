@@ -98,6 +98,11 @@ class CurationFuzzSpec extends GraftSpec {
     // enumeration (the sequence(1,0)-descending guard), and the dup-heavy
     // sentences make the histogram weighting observable.
     "llm_bpe_merges",
+    // Percentile length trim (r18, second session): the fuzz corpus's
+    // giant repetition doc and empty/whitespace docs are genuine length
+    // tails, and its tiny per-lang groups force the interpolation's
+    // small-n frac paths (n−1 scaled by .05/.95 lands between ranks).
+    "llm_outlier_docs",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|
