@@ -197,7 +197,11 @@ object ScaleProbe {
     // table collapses map-side to |distinct (lang, len)| rows, the
     // window runs over THAT, and the bounds join is lang-bounded; the
     // wall ratio checks the corpus never reaches a window.
-    "llm_outlier_docs")
+    "llm_outlier_docs",
+    // round 18 (second session): the Count-Min sketch — one corpus-linear
+    // explode ×d and ONE agg to the d·w-bounded cell table; the wall
+    // ratio checks that no vocab-sized state sneaks in.
+    "llm_freq_sketch")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

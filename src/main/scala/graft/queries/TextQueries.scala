@@ -341,6 +341,26 @@ object TextQueries {
 
   private def tokHashDuck(t: String) = s"('0x' || substr(md5($t), 1, 15))::BIGINT"
 
+  /** Count-Min sketch shape (llm_freq_sketch): d salted hash rows × w
+    * buckets. Private-to-graft so CmsSoundnessSpec derives its ε-bound
+    * (e/w over the token total) from the same literals.
+    */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 16L
+  /** Five in-vocab probes spanning the fixture's frequency range + one
+    * absent token (pure collision mass — the one-sided-error surface).
+    */
+  private[graft] val CmsProbes =
+    Seq("batch", "data", "dup", "nosuchtoken99", "the", "vector")
+
+  /** h_i(t) = salted-md5 60-bit key mod w — the llm_sample_stratified
+    * hash idiom, one salt per sketch row.
+    */
+  private def cmsBucket(i: Column, t: Column): Column =
+    pmod(conv(substring(md5(
+      concat(lit("cms-"), i.cast("string"), lit(":"), t)),
+      1, 15), 16, 10).cast("bigint"), lit(CmsW))
+
   val defs: Seq[Q] = Seq(
     // H: SimHash near-dup — frequency-weighted 60-bit fingerprints, pairs
     // within Hamming distance 8 over a bounded id range (the oracle-able
@@ -2078,6 +2098,74 @@ object TextQueries {
     // Scale shape: map-only, ZERO shuffles at any corpus size (the
     // oracle-ordering Exchange aside) — the split is a pure per-row
     // function of doc_id.
+    // H (round 18, second session): COUNT-MIN FREQUENCY SKETCH — the
+    // third sketch family member (HLL cardinality ✅, GK percentiles ✅,
+    // CMS point frequency ← this row): estimate any token's corpus
+    // frequency from a d×w counter matrix instead of a vocab-sized
+    // hashmap — THE memory lever when the key space outgrows executor
+    // memory (URLs, n-grams, user ids at 100 TB). d=4 salted md5 rows ×
+    // w=16 buckets here (honest miniature of the production 4×2¹⁶ shape
+    // against the fixture's 31-token vocabulary, so bucket collisions
+    // genuinely occur and the min-over-rows recovery is exercised).
+    //
+    // Unlike HLL/GK, CMS is DETERMINISTIC ADDITIVE ARITHMETIC — counter
+    // merges commute — so this sketch row is fully DuckDB-hash-verified
+    // like an exact query (the other two are tolerance-tested by
+    // necessity, not choice). Probes: five in-vocabulary tokens spanning
+    // the frequency range + one absent token (its estimate is pure
+    // collision mass — the one-sided-error surface). CmsSoundnessSpec
+    // pins est ≥ exact per probe and the ε-bound on the overshoot.
+    //
+    // Scale shape: one corpus-linear explode ×d (map-only arithmetic),
+    // ONE hash agg to the d·w-bounded cell table; the probe side is a
+    // literal-bounded join against the broadcast-scale cells. No
+    // vocab-sized state anywhere — that is the point.
+    Q(
+      "llm_freq_sketch",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(explode(filter(split(lower(col("text")), " "),
+            t => t =!= "")).as("t"))
+          .select(col("t"),
+            explode(sequence(lit(0L), lit((CmsD - 1).toLong))).as("i"))
+          .select(col("i"), cmsBucket(col("i"), col("t")).as("b"))
+          .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+        val probes = s.range(1)
+          .select(explode(array(CmsProbes.map(lit): _*)).as("token"))
+          .select(col("token"),
+            explode(sequence(lit(0L), lit((CmsD - 1).toLong))).as("i"))
+          .select(col("token"), col("i"),
+            cmsBucket(col("i"), col("token")).as("b"))
+        probes.join(cells, Seq("i", "b"), "left")
+          .groupBy(col("token"))
+          .agg(min(coalesce(col("c"), lit(0L))).as("est_freq"))
+          .orderBy(col("token"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '')) AS t
+          FROM documents),
+        cells AS (
+          SELECT s.i,
+                 ('0x' || substr(md5('cms-' || CAST(s.i AS VARCHAR)
+                    || ':' || toks.t), 1, 15))::BIGINT % $CmsW AS b,
+                 count(*) AS c
+          FROM toks, (SELECT unnest(range($CmsD)) AS i) s(i)
+          GROUP BY 1, 2),
+        pe AS (
+          SELECT p.token, s.i,
+                 ('0x' || substr(md5('cms-' || CAST(s.i AS VARCHAR)
+                    || ':' || p.token), 1, 15))::BIGINT % $CmsW AS b
+          FROM (SELECT unnest([${CmsProbes.map("'" + _ + "'").mkString(", ")}])
+                  AS token) p,
+               (SELECT unnest(range($CmsD)) AS i) s(i))
+        SELECT pe.token,
+               CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS est_freq
+        FROM pe LEFT JOIN cells ON cells.i = pe.i AND cells.b = pe.b
+        GROUP BY pe.token
+        ORDER BY pe.token""")),
+
     // H (round 18, second session): ROBUST LENGTH-OUTLIER FILTER — the
     // per-language percentile trim every curation pipeline applies before
     // the content heuristics: a doc whose length falls outside its

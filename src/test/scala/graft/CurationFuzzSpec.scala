@@ -103,6 +103,11 @@ class CurationFuzzSpec extends GraftSpec {
     // tails, and its tiny per-lang groups force the interpolation's
     // small-n frac paths (n−1 scaled by .05/.95 lands between ranks).
     "llm_outlier_docs",
+    // Count-Min sketch (r18, second session): the fuzz corpus's 16-word
+    // vocabulary in 16 buckets makes collisions dense, unicode tokens
+    // exercise the md5 bucket hash, and most probes are ABSENT (pure
+    // collision-mass estimates) — both engines must agree cell-for-cell.
+    "llm_freq_sketch",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|
