@@ -201,7 +201,12 @@ object ScaleProbe {
     // round 18 (second session): the Count-Min sketch — one corpus-linear
     // explode ×d and ONE agg to the d·w-bounded cell table; the wall
     // ratio checks that no vocab-sized state sneaks in.
-    "llm_freq_sketch")
+    "llm_freq_sketch",
+    // round 18 (second session): the Q21-shaped semi+anti self-join —
+    // three fact-fact legs sharing the l_orderkey partitioning; the wall
+    // ratio checks the shared-exchange claim survives the 100× fact
+    // growth (the hardest relational shape in the declared set).
+    "join_q21_waiting")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

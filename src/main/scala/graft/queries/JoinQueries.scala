@@ -330,5 +330,70 @@ object JoinQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         FROM events e JOIN dim USING (event_type)
         GROUP BY e.event_type
-        ORDER BY e.event_type""")))
+        ORDER BY e.event_type""")),
+
+    // C beyond (round 18, second session): TPC-H Q21-SHAPED "waiting
+    // suppliers" — the hardest relational join topology in the TPC-H
+    // suite: a fact table SEMI-joined AND ANTI-joined against itself,
+    // correlated on the same key. "Suppliers who were the SOLE late
+    // shipper on a multi-supplier order": late = shipped > 60 days after
+    // the order date (the fixture has no commit/receipt dates, so the
+    // lateness predicate is adapted; the join topology — the part that
+    // stresses the engine — is Q21's exactly). The oracle spells the
+    // semi/anti as correlated EXISTS / NOT EXISTS; the Spark side uses
+    // leftsemi/leftanti joins over the SHARED deduped (order, supp)
+    // participation sets — same semantics, Catalyst's decorrelated form
+    // written directly.
+    //
+    // Scale shape: every fact-fact edge (late⋉multi, cand▷late) keys on
+    // l_orderkey, so the three self-join legs share one hash
+    // partitioning (exchange reuse); nothing fact-sized is broadcast —
+    // at 100 TB the late set is itself fact-scale. The supplier
+    // attachment is the one legitimate dimension broadcast; final top-20
+    // is a TakeOrderedAndProject heap.
+    Q(
+      "join_q21_waiting",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val multi = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val late = l.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val cand = late.as("a").join(multi.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") =!= col("b.l_suppkey"), "leftsemi")
+        val sole = cand.as("a").join(late.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey") &&
+            col("a.l_suppkey") =!= col("c.l_suppkey"), "leftanti")
+        sole.join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH l AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        late AS (
+          SELECT DISTINCT li.l_orderkey, li.l_suppkey
+          FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+          WHERE li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        cand AS (
+          SELECT a.l_orderkey, a.l_suppkey FROM late a
+          WHERE EXISTS (SELECT 1 FROM l b
+                        WHERE b.l_orderkey = a.l_orderkey
+                          AND b.l_suppkey <> a.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late c
+                            WHERE c.l_orderkey = a.l_orderkey
+                              AND c.l_suppkey <> a.l_suppkey))
+        SELECT s.s_name, count(*) AS numwait
+        FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")))
 }

@@ -680,6 +680,22 @@ class PlanAuditSpec extends GraftSpec {
     }
   }
 
+  test("join_q21_waiting: self-join legs shuffle on l_orderkey, top-20 as heaps") {
+    // The late set is fact-scale at 100 TB — broadcasting it into the
+    // semi/anti legs is the multi-TB mistake; under threshold=-1 only the
+    // hinted supplier dimension may broadcast, both self-join legs must
+    // be shuffle joins, and the final top-20 must plan as a heap.
+    val p = planNoAutoBroadcast("join_q21_waiting")
+    val selfJoins = "SortMergeJoin [^\\n]*Left(Semi|Anti)".r.findAllIn(p).size +
+      "ShuffledHashJoin [^\\n]*Left(Semi|Anti)".r.findAllIn(p).size
+    assert(selfJoins == 2,
+      s"both semi/anti self-join legs must shuffle, found $selfJoins:\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"only the supplier dimension may broadcast:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n${p.take(3000)}")
+  }
+
   test("llm_bpe_merges: vocab-bound after the word histogram, top-k as heaps") {
     // The histogram-weighting claim: after the one corpus-scale word agg,
     // everything is vocab/alphabet-bound — no join anywhere (a join would
