@@ -206,7 +206,11 @@ object ScaleProbe {
     // three fact-fact legs sharing the l_orderkey partitioning; the wall
     // ratio checks the shared-exchange claim survives the 100× fact
     // growth (the hardest relational shape in the declared set).
-    "join_q21_waiting")
+    "join_q21_waiting",
+    // round 18 (second session): the streaming CMS — complete-mode agg
+    // whose state is the 4×16 matrix regardless of user cardinality; the
+    // wall ratio checks the bounded-state claim under the 100× stream.
+    "stream_freq_sketch")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

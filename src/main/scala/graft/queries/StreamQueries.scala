@@ -205,6 +205,20 @@ object StreamQueries {
     // first purchase at-or-after the first signup, one row per converted
     // user, two longs of state per user.
     Q(
+      "stream_freq_sketch",
+      (s, d) => run("stream_freq_sketch", "complete")(StreamOps.cmsUserCells)(s, d)
+        .orderBy(col("i"), col("b")),
+      oracle = Some("""
+        SELECT i, b, count(*) AS c
+        FROM (
+          SELECT s.i,
+                 ('0x' || substr(md5('cmsu-' || CAST(s.i AS VARCHAR) || ':'
+                    || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS b
+          FROM events e, (SELECT unnest(range(4)) AS i) s(i))
+        GROUP BY i, b
+        ORDER BY i, b""")),
+
+    Q(
       "stream_funnel",
       (s, d) => run("stream_funnel", "append")(StreamOps.funnel)(s, d)
         .orderBy(col("user_id")),

@@ -262,4 +262,25 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
+
+  /** S14 — Count-Min sketch cells over the user-id stream (round 18,
+    * second session): the streaming twin of llm_freq_sketch, and the
+    * canonical bounded-state streaming frequency estimator — the complete-
+    * mode aggregation state is the d×w = 4×16 counter matrix REGARDLESS of
+    * how many distinct users flow past (a per-user count would grow state
+    * with key cardinality; at 10⁹ users that is the state-store OOM this
+    * sketch exists to avoid). CMS is additive, so micro-batch partial
+    * merges commute — AvailableNow equals batch bit-for-bit and the row
+    * stays hash-verifiable like its batch twin. Salt prefix 'cmsu-'
+    * (user-id domain, distinct from the token sketch's 'cms-').
+    */
+  def cmsUserCells(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("i"),
+        pmod(conv(substring(md5(concat(lit("cmsu-"), col("i").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("bigint"), lit(16L)).as("b"))
+      .groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
 }

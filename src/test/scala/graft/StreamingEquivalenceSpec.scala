@@ -50,6 +50,15 @@ class StreamingEquivalenceSpec extends GraftSpec {
         .orderBy(col("ws"), col("event_type")))
   }
 
+  test("S14 CMS cells: AvailableNow equals batch (additive partials commute)") {
+    val stream = EventStream.runAvailableNow(spark, "eq_s14",
+      StreamOps.cmsUserCells(EventStream.readEvents(spark, sf)), "complete")
+    assertSameRows(
+      stream.orderBy(col("i"), col("b")),
+      StreamOps.cmsUserCells(Tables.events(spark, sf))
+        .orderBy(col("i"), col("b")))
+  }
+
   test("S4 watermarked append: emits exactly the windows closed by the final watermark") {
     val stream = EventStream.runAvailableNow(spark, "eq_s4",
       StreamOps.watermarkTumbling(EventStream.readEvents(spark, sf)), "append")

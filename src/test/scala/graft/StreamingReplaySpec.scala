@@ -103,6 +103,14 @@ class StreamingReplaySpec extends GraftSpec {
       StreamOps.sliding(batchEvents), "ws", "event_type")
   }
 
+  test("S14 CMS cells over a 4-batch kinesis replay equals batch") {
+    // The sketch state is the 4×16 counter matrix regardless of user
+    // cardinality; additive merges commute, so the rate-limited replay
+    // must land on the identical cells.
+    assertSame(runReplay("s14", "complete", StreamOps.cmsUserCells),
+      StreamOps.cmsUserCells(batchEvents), "i", "b")
+  }
+
   test("S3 sessions flush across real batch boundaries (sentinel-closed)") {
     val streamed = runReplay("s3", "append", StreamOps.sessions,
       withSentinel = true).where(col("user_id") =!= -1L)
