@@ -210,7 +210,11 @@ object ScaleProbe {
     // round 18 (second session): the streaming CMS — complete-mode agg
     // whose state is the 4×16 matrix regardless of user cardinality; the
     // wall ratio checks the bounded-state claim under the 100× stream.
-    "stream_freq_sketch")
+    "stream_freq_sketch",
+    // round 18 (second session): the Lloyd convergence shift — exactly
+    // kmeans_update's stages plus one index-scale broadcast join; the
+    // wall ratio should track llm_kmeans_update's sub-linear curve.
+    "llm_kmeans_shift")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -124,6 +124,21 @@ object VectorQueries {
     */
   private def quantizedDist2(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
+    val (q, cents) = quantizedQC(s, d)
+    q.join(broadcast(cents), "c_id")
+      .select(col("c_id"), col("vec_id"),
+        VectorOps.dot(
+          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
+          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
+          .as("dist2"))
+  }
+
+  /** The (q, cents) stages of [[quantizedDist2]], factored so the Lloyd
+    * convergence row (llm_kmeans_shift) shares the identical quantize /
+    * assign / centroid arithmetic instead of re-spelling it.
+    */
+  private def quantizedQC(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val (e, _, cell, _) = hierIndex(s, d)
     val q = e
       .select(col("vec_id"), col("v"),
@@ -149,12 +164,7 @@ object VectorQueries {
       .groupBy(col("c_id"))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
         p => p.getField("m")).as("cm"))
-    q.join(broadcast(cents), "c_id")
-      .select(col("c_id"), col("vec_id"),
-        VectorOps.dot(
-          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
-          zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
-          .as("dist2"))
+    (q, cents)
   }
 
   /** The DuckDB spelling of [[quantizedDist2]] — hierCellsSql plus the
@@ -1303,6 +1313,44 @@ object VectorQueries {
                  ELSE 0.0 END AS max_abs_err
         FROM q
         ORDER BY vec_id""")),
+
+    // H (round 18, second session): LLOYD CONVERGENCE SHIFT — the number
+    // an iterative k-means driver checks after every llm_kmeans_update
+    // pass ("stop when max centroid shift < ε"): per cell, the quantized-
+    // domain dist² between the cell's SEED centroid (its c_id IS the seed
+    // vec_id, so the seed's quantized vector is already in the q table)
+    // and the iteration-1 mean llm_kmeans_update computed. Shares the
+    // quantize/assign/centroid stages via quantizedQC — the same
+    // structural-not-textual sharing as the cluster_sample/
+    // diversity_prune pair — and the dist² is the bit-identical
+    // DotProduct-over-diff.
+    //
+    // Scale shape: the shift join is q ⋈ broadcast(cents) on the SEED ids
+    // (cents is index-scale √N rows — the legitimate broadcast), which
+    // filters the corpus map-side to √N rows; output is one row per cell.
+    // Nothing beyond kmeans_update's own stages touches the corpus.
+    Q(
+      "llm_kmeans_shift",
+      (s, d) => {
+        val (q, cents) = quantizedQC(s, d)
+        val c2 = cents.select(col("c_id").as("sc_id"), col("cm"))
+        q.join(broadcast(c2), col("vec_id") === col("sc_id"))
+          .select(col("sc_id").as("c_id"),
+            VectorOps.dot(
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b),
+              zip_with(col("q"), col("cm"), (a, b) => a.cast("double") - b))
+              .as("shift"))
+          .orderBy(col("c_id"))
+      },
+      oracle = Some(s"""$quantizedDist2Sql
+        SELECT cma.c_id,
+               list_dot_product(
+                 list_transform(range(1, 65),
+                   i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i]),
+                 list_transform(range(1, 65),
+                   i -> CAST(qv.q[i] AS DOUBLE) - cma.cm[i])) AS shift
+        FROM cma JOIN qv ON qv.vec_id = cma.c_id
+        ORDER BY cma.c_id""")),
 
     // H (round 18): PQ CODE ASSIGNMENT — the compression half of product
     // quantization (doc on pqIndex above): every vector becomes M=8
