@@ -214,7 +214,10 @@ object ScaleProbe {
     // round 18 (second session): the Lloyd convergence shift — exactly
     // kmeans_update's stages plus one index-scale broadcast join; the
     // wall ratio should track llm_kmeans_update's sub-linear curve.
-    "llm_kmeans_shift")
+    "llm_kmeans_shift",
+    // round 18 (second session): PQ bit-packing — one bounded agg over
+    // the code table; should track llm_pq_codes' flat curve.
+    "llm_pq_pack")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -1501,6 +1501,32 @@ object VectorQueries {
         WHERE nn_rank <= $PqTopK
         ORDER BY q_id, nn_rank""")),
 
+    // H (round 18, second session): PQ CODE PACKING — the storage step
+    // that makes the 64× claim LITERAL: the M=8 4-bit codes bit-pack into
+    // one 32-bit word per vector (code_m << 4m, summed — disjoint nibble
+    // ranges, so integer addition IS concatenation and the sum is
+    // shuffle-order-free), the column a production deployment actually
+    // writes back. One bounded agg over the N·M code table; map-side
+    // partials collapse to one row per vector before the exchange.
+    Q(
+      "llm_pq_pack",
+      (s, d) => {
+        val (_, _, codes) = pqIndex(s, d)
+        codes.groupBy(col("vec_id"))
+          .agg(sum(expr("shiftleft(code, cast(4 * m as int))"))
+            .cast("bigint").as("packed"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $pqCodesSql
+        SELECT vec_id,
+               CAST(sum(code * (CAST(1 AS BIGINT)
+                 << CAST(4 * m AS INTEGER))) AS BIGINT) AS packed
+        FROM codes GROUP BY vec_id
+        ORDER BY vec_id""")),
+
     // H (round 18, second session): PQ DISTORTION AUDIT — the number a
     // production deployment reports before committing to a codebook (and
     // the llm_emb_quant twin for the PQ path): per-vector reconstruction

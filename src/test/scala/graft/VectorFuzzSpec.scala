@@ -40,7 +40,8 @@ class VectorFuzzSpec extends GraftSpec {
     "llm_pq_search",          // ADC rank ties among clones (vec_id break)
     "llm_ann_ivfpq",          // cell-pruned ADC over the same tie surface
     "llm_pq_recon",           // zero-vector distortion (0-d2 path) + clones
-    "llm_kmeans_shift")       // zero-vector seed cells (q≡0 vs mean) + clones
+    "llm_kmeans_shift",       // zero-vector seed cells (q≡0 vs mean) + clones
+    "llm_pq_pack")            // packed nibbles over clone/zero code ties
 
   test("clone/zero/near-clone embedding corpus: vector rows agree with DuckDB") {
     val rnd = new Random(0x5EED15)
