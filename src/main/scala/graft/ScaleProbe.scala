@@ -217,7 +217,12 @@ object ScaleProbe {
     "llm_kmeans_shift",
     // round 18 (second session): PQ bit-packing — one bounded agg over
     // the code table; should track llm_pq_codes' flat curve.
-    "llm_pq_pack")
+    "llm_pq_pack",
+    // round 18 (second session): the per-source duplication audit — two
+    // linear map-side-partial shuffles, no joins, #sources rows out; the
+    // staged clones RAISE every source's dup_rate but the plan cost
+    // stays linear, which is what the wall ratio checks.
+    "llm_dup_rate_by_source")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

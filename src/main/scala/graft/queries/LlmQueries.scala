@@ -376,6 +376,41 @@ object LlmQueries {
         GROUP BY key
         ORDER BY keep_id""")),
 
+    // H (round 18, second session): PER-SOURCE DUPLICATION AUDIT — the
+    // report a curation run files before deciding which crawls to keep:
+    // within each source, how much of the corpus collapses under the
+    // norm-key dedup ("which crawl is dup-heavy"). Rides llm_dedup_norm's
+    // shared normKey so the audit cannot fork from the dedup it audits;
+    // dup_rate is one fixed-order IEEE division over exact BIGINT counts.
+    //
+    // Scale shape: countDistinct expands to a (source, key) partial
+    // distinct then re-aggregates — two linear map-side-partial shuffles,
+    // no joins, #sources rows out.
+    Q(
+      "llm_dup_rate_by_source",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"), normKey(col("text")).as("key"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("key")).as("n_unique"),
+            (lit(1.0d) - countDistinct(col("key")).cast("double") /
+              count(lit(1)).cast("double")).as("dup_rate"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT source, $normKeyDuck AS key
+          FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT key) AS n_unique,
+               1.0 - CAST(count(DISTINCT key) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM t
+        GROUP BY source
+        ORDER BY source""")),
+
     // H: paragraph/segment-level exact dedup — the Dolma/C4-style stage
     // that dedups WITHIN documents' parts, not whole documents: a segment
     // is kept iff this doc is the minimum doc_id among all docs containing

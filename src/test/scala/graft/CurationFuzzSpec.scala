@@ -108,6 +108,11 @@ class CurationFuzzSpec extends GraftSpec {
     // exercise the md5 bucket hash, and most probes are ABSENT (pure
     // collision-mass estimates) — both engines must agree cell-for-cell.
     "llm_freq_sketch",
+    // Per-source duplication audit (r18, second session): the fuzz
+    // corpus's dup-heavy sentences and empty/whitespace ''-key group
+    // spread across its src0..3 sources, so every source has a real
+    // dup_rate and the ''-key collapse is cross-checked per source.
+    "llm_dup_rate_by_source",
     // Directional containment (r14): the giant repetition doc is a
     // containment magnet (every "spam spam spam" shingle set contains
     // it), the short adversarial docs exercise the small-|sh(a)|
