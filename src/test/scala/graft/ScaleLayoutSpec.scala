@@ -124,6 +124,35 @@ class ScaleLayoutSpec extends GraftSpec {
     }
   }
 
+  test("runtime Bloom filter prunes the fact side of a filtered join (the semi-join lever)") {
+    // Fourth runtime lever (round 18, second session) after bucketing,
+    // pruning, and AQE skew-split: when a shuffle join's small side
+    // carries a selective filter, Spark can inject a Bloom filter of the
+    // surviving keys into the FACT side's scan — at 100 TB that turns a
+    // full-fact shuffle into a pre-shuffle semi-reduction with no query
+    // change. Default thresholds target real cluster sizes
+    // (applicationSideScanSizeThreshold = 10 GB), so they are scaled down
+    // exactly like the AQE test's, to show the same runtime decision
+    // verify-sized data.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = Tables.lineitem(spark, TestEnv.Sf01)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, TestEnv.Sf01)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected an injected runtime Bloom filter on the fact scan:\n${plan.take(2000)}")
+    }
+  }
+
   test("new distribution/reshape rows keep parallel plans") {
     for (q <- Seq("win_ntile_dist", "fn_unpivot", "set_intersect_all",
       "set_except_all", "agg_minmax_by", "agg_corr_cov")) {
