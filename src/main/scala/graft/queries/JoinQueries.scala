@@ -395,5 +395,60 @@ object JoinQueries {
         FROM cand JOIN supplier s ON cand.l_suppkey = s.s_suppkey
         GROUP BY s.s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 20""")))
+        LIMIT 20""")),
+
+    // C beyond (round 18, second session): ε-BAND SELF-JOIN via unit
+    // binning — the interval-join technique the equi-key rows can't show:
+    // find all event pairs within ε = 0.01 of each other on `value`
+    // WITHOUT an equi key. The naive spelling is an all-pairs theta join
+    // (O(N²) — a CartesianProduct the global plan pin forbids); binning
+    // at bin = ⌊value/ε⌋ makes it an EQUI join: |v₁−v₂| ≤ ε forces the
+    // bins to differ by at most 1, so expanding ONE side to its three
+    // adjacent bins and equi-joining on bin finds every qualifying pair
+    // exactly once (exactly one offset matches per pair — no dedup
+    // needed). Work is local-density-bound: each bin only meets its
+    // neighbors, never the whole corpus — the numeric twin of the LSH
+    // banding the text/vector rows use.
+    //
+    // Scale shape: one 3×-expanded map pass, one hash-shuffle equi-join
+    // on bin (neither side broadcast — both corpus-bound, pinned),
+    // answer-bound output. Excluded from ScaleProbe like the other
+    // pair-LIST rows: staged clones repeat values verbatim, so the true
+    // answer grows quadratically in the staging factor — an artifact of
+    // the staging, not the operator.
+    Q(
+      "join_eps_band",
+      (s, d) => {
+        val eps = 0.01d
+        val a = Tables.events(s, d).select(col("event_id").as("a_id"),
+          col("value").as("a_v"),
+          floor(col("value") / eps).cast("bigint").as("bin"))
+        val b = Tables.events(s, d).select(col("event_id").as("b_id"),
+          col("value").as("b_v"),
+          floor(col("value") / eps).cast("bigint").as("bbin"),
+          // a generator can't nest inside the + expression — explode
+          // first, add the offset in the next projection.
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+          .select(col("b_id"), col("b_v"),
+            (col("bbin") + col("off")).as("bin"))
+        a.join(b, Seq("bin"))
+          .where(col("a_id") < col("b_id") &&
+            abs(col("a_v") - col("b_v")) <= eps)
+          .select(col("a_id"), col("b_id"),
+            abs(col("a_v") - col("b_v")).as("gap"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT event_id AS a_id, value AS a_v,
+                 CAST(floor(value / 0.01) AS BIGINT) AS bin
+          FROM events),
+        b AS (
+          SELECT event_id AS b_id, value AS b_v,
+                 CAST(floor(value / 0.01) AS BIGINT) + o.off AS bin
+          FROM events, (SELECT unnest([-1, 0, 1]) AS off) o(off))
+        SELECT a.a_id, b.b_id, abs(a.a_v - b.b_v) AS gap
+        FROM a JOIN b USING (bin)
+        WHERE a.a_id < b.b_id AND abs(a.a_v - b.b_v) <= 0.01
+        ORDER BY a_id, b_id""")))
 }

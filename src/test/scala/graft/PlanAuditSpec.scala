@@ -721,6 +721,20 @@ class PlanAuditSpec extends GraftSpec {
       s"the shuffle must partition on the salted key:\n${p.take(3000)}")
   }
 
+  test("join_eps_band: binning makes the theta join an equi shuffle join") {
+    // The naive ε-join is a CartesianProduct (the global pin forbids it);
+    // the binned form must plan as an EQUI join on bin with both sides
+    // shuffled — both are corpus-bound, so no broadcast under
+    // threshold=-1.
+    val p = planNoAutoBroadcast("join_eps_band")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the binned join must not be a product:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastExchange"),
+      s"neither corpus-bound side may broadcast:\n${p.take(3000)}")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[bin#".r.findFirstIn(p).isDefined,
+      s"the join must be an equi join on bin:\n${p.take(3000)}")
+  }
+
   test("llm_split_leakage: the train-key join shuffles, neither side broadcasts") {
     // Both join inputs are corpus-bound (eval docs ~10% of corpus, train
     // keys up to 90%) — a broadcast on either side is the multi-TB
