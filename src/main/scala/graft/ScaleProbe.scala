@@ -222,7 +222,11 @@ object ScaleProbe {
     // linear map-side-partial shuffles, no joins, #sources rows out; the
     // staged clones RAISE every source's dup_rate but the plan cost
     // stays linear, which is what the wall ratio checks.
-    "llm_dup_rate_by_source")
+    "llm_dup_rate_by_source",
+    // round 18 (second session): clustering purity — the hier assignment
+    // plus one corpus shuffle join and two bounded aggs; should track
+    // the hier rows' sub-linear curve.
+    "llm_cluster_purity")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

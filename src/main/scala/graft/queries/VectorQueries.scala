@@ -1501,6 +1501,58 @@ object VectorQueries {
         WHERE nn_rank <= $PqTopK
         ORDER BY q_id, nn_rank""")),
 
+    // H (round 18, second session): CLUSTERING PURITY — the standard
+    // EXTERNAL clustering evaluation, and the first row to touch the
+    // fixture's ground-truth `label` column: per hier cell, the majority
+    // true label and purity = majority/|cell| (ties break to the smallest
+    // label on both engines — max_by over (n, −label) ↔ row_number
+    // (n DESC, label)). On this near-random corpus purity sits close to
+    // the 1/K chance line — the row ships the measurement, not a claim;
+    // on clustered real embeddings this is the number a clustering job
+    // reports next to llm_kmeans_shift's convergence.
+    //
+    // Scale shape: cell ⋈ labels is a corpus-scale equi shuffle join
+    // (neither side broadcast — labels are corpus-bound); the (c_id,
+    // label) agg collapses map-side to ≤ ncells·K rows and everything
+    // after is index-scale. One row per cell out.
+    Q(
+      "llm_cluster_purity",
+      (s, d) => {
+        val (_, _, cell, _) = hierIndex(s, d)
+        val lab = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("bigint").as("label"))
+        cell.join(lab, "vec_id")
+          .groupBy(col("c_id"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("c_id"))
+          .agg(sum(col("n")).cast("bigint").as("n_cell"),
+            max_by(col("label"),
+              struct(col("n"), (-col("label")).as("t"))).as("maj_label"),
+            max(col("n")).as("n_maj"))
+          .select(col("c_id"), col("n_cell"), col("maj_label"),
+            (col("n_maj").cast("double") / col("n_cell").cast("double"))
+              .as("purity"))
+          .orderBy(col("c_id"))
+      },
+      oracle = Some(s"""$hierCellsSql,
+        m AS (
+          SELECT cell.c_id, CAST(emb.label AS BIGINT) AS label,
+                 count(*) AS n
+          FROM cell JOIN embeddings emb ON emb.vec_id = cell.vec_id
+          GROUP BY 1, 2),
+        p AS (
+          SELECT c_id, label, n,
+                 row_number() OVER (PARTITION BY c_id
+                   ORDER BY n DESC, label) AS rn,
+                 sum(n) OVER (PARTITION BY c_id) AS n_cell,
+                 max(n) OVER (PARTITION BY c_id) AS n_maj
+          FROM m)
+        SELECT c_id, CAST(n_cell AS BIGINT) AS n_cell,
+               label AS maj_label,
+               CAST(n_maj AS DOUBLE) / CAST(n_cell AS DOUBLE) AS purity
+        FROM p WHERE rn = 1
+        ORDER BY c_id""")),
+
     // H (round 18, second session): PQ CODE PACKING — the storage step
     // that makes the 64× claim LITERAL: the M=8 4-bit codes bit-pack into
     // one 32-bit word per vector (code_m << 4m, summed — disjoint nibble
