@@ -201,9 +201,10 @@ object StreamQueries {
         WHERE n.event_id % 10 = 0
         ORDER BY event_id""")),
 
-    // S8: stateful signup→purchase funnel via flatMapGroupsWithState —
-    // first purchase at-or-after the first signup, one row per converted
-    // user, two longs of state per user.
+    // S14: streaming Count-Min frequency sketch — llm_freq_sketch's
+    // bounded d×w counter matrix maintained incrementally over the event
+    // stream (complete mode): per-user frequency state at ANY user
+    // cardinality in d·w cells. AvailableNow replay == batch bit-for-bit.
     Q(
       "stream_freq_sketch",
       (s, d) => run("stream_freq_sketch", "complete")(StreamOps.cmsUserCells)(s, d)
@@ -218,6 +219,9 @@ object StreamQueries {
         GROUP BY i, b
         ORDER BY i, b""")),
 
+    // S8: stateful signup→purchase funnel via flatMapGroupsWithState —
+    // first purchase at-or-after the first signup, one row per converted
+    // user, two longs of state per user.
     Q(
       "stream_funnel",
       (s, d) => run("stream_funnel", "append")(StreamOps.funnel)(s, d)

@@ -2087,17 +2087,6 @@ object TextQueries {
         ORDER BY score DESC, doc_id
         LIMIT 10""")),
 
-    // H: deterministic train/valid/test split assignment (round 18) —
-    // the last step of every curation pipeline before tokenization:
-    // every document lands in exactly one of train/valid/test at 90/5/5
-    // by the salted-md5 uniform key (llm_sample_stratified's exact
-    // idiom — NOT rand(): task retries keep the same assignment, reruns
-    // reproduce bit-for-bit, adding documents never moves an existing
-    // one between splits, and the DuckDB oracle agrees exactly).
-    //
-    // Scale shape: map-only, ZERO shuffles at any corpus size (the
-    // oracle-ordering Exchange aside) — the split is a pure per-row
-    // function of doc_id.
     // H (round 18, second session): COUNT-MIN FREQUENCY SKETCH — the
     // third sketch family member (HLL cardinality ✅, GK percentiles ✅,
     // CMS point frequency ← this row): estimate any token's corpus
@@ -2197,7 +2186,13 @@ object TextQueries {
           SELECT lang,
                  quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
                  quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
-          FROM documents GROUP BY lang)
+          -- The NOT NULL filter mirrors the Spark counts CTE exactly: a
+          -- lang whose docs ALL have NULL n_chars gets no bounds row in
+          -- EITHER engine, so the inner join drops its docs consistently
+          -- (r18 ADVICE: without it DuckDB kept the group with NULL
+          -- quantiles while Spark dropped it). quantile_cont already
+          -- ignores NULLs, so mixed-NULL langs are unaffected.
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
         SELECT d.doc_id, d.lang, d.n_chars,
                (CAST(d.n_chars AS DOUBLE) < b.p05
                 OR CAST(d.n_chars AS DOUBLE) > b.p95) AS outlier
@@ -2260,6 +2255,17 @@ object TextQueries {
         ORDER BY cnt DESC, a, b
         LIMIT 20""")),
 
+    // H: deterministic train/valid/test split assignment (round 18) —
+    // the last step of every curation pipeline before tokenization:
+    // every document lands in exactly one of train/valid/test at 90/5/5
+    // by the salted-md5 uniform key (llm_sample_stratified's exact
+    // idiom — NOT rand(): task retries keep the same assignment, reruns
+    // reproduce bit-for-bit, adding documents never moves an existing
+    // one between splits, and the DuckDB oracle agrees exactly).
+    //
+    // Scale shape: map-only, ZERO shuffles at any corpus size (the
+    // oracle-ordering Exchange aside) — the split is a pure per-row
+    // function of doc_id.
     Q(
       "llm_split_assign",
       (s, d) => {

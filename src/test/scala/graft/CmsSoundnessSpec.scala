@@ -17,7 +17,7 @@ import graft.queries.TextQueries
   *     hash draw), but THIS instance is deterministic — fixed salts,
   *     fixed corpus — so the inequality either holds or it does not, and
   *     it holds with room at both gate SFs (expected per-row collision
-  *     mass is N/w ≈ N/64; the min over d=4 rows sits well under e·N/w).
+  *     mass is N/w = N/16; the min over d=4 rows sits well under e·N/w).
   *
   * The absent probe (nosuchtoken99, exact = 0) rides the same bounds: its
   * estimate is pure collision mass, the one-sided-error surface.

@@ -297,6 +297,40 @@ class CurationFuzzSpec extends GraftSpec {
     }
   }
 
+  test("llm_outlier_docs: an all-NULL-n_chars language drops in both engines") {
+    // Round-18 ADVICE: a lang whose docs ALL have NULL n_chars got no
+    // bounds row on the Spark side (the counts CTE filters NULL) but the
+    // un-filtered DuckDB oracle kept the group with NULL quantiles, so
+    // the inner join retained its docs with NULL outlier — a latent
+    // cross-engine divergence no fixture planted. The oracle's b CTE now
+    // carries the matching NOT NULL filter; this corpus plants the
+    // all-NULL language ('xx': every doc NULL text → NULL n_chars) plus
+    // a MIXED language ('en': one NULL doc among real lengths) so both
+    // the drop-the-lang and the NULL-doc-joins-with-NULL-outlier paths
+    // are pinned cross-engine.
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0"),
+      (1L, "zeta", "en", "src1"),
+      (2L, null.asInstanceOf[String], "en", "src2"),  // mixed-lang NULL doc
+      (3L, "eta theta iota kappa", "en", "src3"),
+      (4L, null.asInstanceOf[String], "xx", "src0"),  // all-NULL language
+      (5L, null.asInstanceOf[String], "xx", "src1"))
+    withCorpus("graft_outlier_null", rows) { (dir, con) =>
+      val q = SparkEntry.all.find(_.name == "llm_outlier_docs").get
+      val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+      val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
+      assert(sCols == dCols, "llm_outlier_docs column mismatch")
+      // The 'xx' docs (ids 4, 5) must vanish; the mixed-lang NULL doc
+      // (id 2) must survive with NULL outlier — in BOTH engines.
+      assert(sRows.size == 4 && dRows.size == 4,
+        s"expected 4 surviving docs, spark=${sRows.size} duckdb=${dRows.size}")
+      sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+        assert(s == d, s"llm_outlier_docs NULL-corpus row $i differs:\n" +
+          s"  spark : $s\n  duckdb: $d")
+      }
+    }
+  }
+
   test("llm_seq_pack: NULL-text docs count 0 tokens in both engines") {
     // Round-12 review: under the pinned non-ANSI config Spark's size(NULL)
     // is -1, which would silently shift every later doc's tok_offset while
