@@ -226,7 +226,23 @@ object ScaleProbe {
     // round 18 (second session): clustering purity — the hier assignment
     // plus one corpus shuffle join and two bounded aggs; should track
     // the hier rows' sub-linear curve.
-    "llm_cluster_purity")
+    "llm_cluster_purity",
+    // round 19: BPE merge application — training's vocab-bound stages
+    // plus a map-only per-doc fold against the ONE broadcast merge row;
+    // the apply cost is per word OCCURRENCE (staged clones multiply
+    // occurrences, not the vocabulary), so the wall ratio checks the
+    // map-only linear claim directly.
+    "llm_bpe_apply",
+    // round 19: the PQ Lloyd M-step — the E-step's broadcast-expansion
+    // code assignment plus ONE corpus shuffle join (qv ⋈ codes) and a
+    // codebook-bound agg; should track llm_kmeans_update's curve.
+    "llm_pq_train",
+    // round 19: the stream-stream LEFT OUTER join — per-user banded
+    // state on both sides (staged copies add USERS, not per-user
+    // density, so matches and null-emissions both grow linearly); the
+    // wall ratio checks the watermark actually bounds state at 100× the
+    // stream.
+    "stream_outer_join")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

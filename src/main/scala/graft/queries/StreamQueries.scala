@@ -134,6 +134,36 @@ object StreamQueries {
                       AND p.ts + INTERVAL 30 MINUTES
         ORDER BY p_event_id, c_event_id""")),
 
+    // S15 (round 19): stream-stream LEFT OUTER join — the watermark-driven
+    // null-emission path (doc on StreamOps.purchaseClickLeftJoin): matched
+    // purchases emit within the micro-batch like S6; unmatched ones emit
+    // with NULL click columns only when the watermark passes their
+    // interval, i.e. in the trailing no-data batch — and only because the
+    // far-future sentinel (user_id −1, admitted through both side filters)
+    // pushes the final watermark past every real purchase's band. The
+    // oracle is the plain batch left join; the sort spells NULLS FIRST on
+    // both engines because the engines' ASC-null defaults differ (Spark
+    // nulls-first, DuckDB nulls-last — a silent whole-row-order fork).
+    Q(
+      "stream_outer_join",
+      (s, d) => {
+        val withSentinel = EventStream.readEventsWithSentinel(s, d)
+        EventStream.runAvailableNow(s, "stream_outer_join",
+          StreamOps.purchaseClickLeftJoin(withSentinel), "append")
+          .where(col("user_id") =!= -1L)
+          .orderBy(col("p_event_id"), col("c_event_id").asc_nulls_first)
+      },
+      oracle = Some("""
+        SELECT p.user_id AS user_id, p.event_id AS p_event_id,
+               c.event_id AS c_event_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES
+                      AND p.ts + INTERVAL 30 MINUTES
+        WHERE p.event_type = 'purchase'
+        ORDER BY p_event_id, c_event_id NULLS FIRST""")),
+
     // S7: stream-static enrichment against the customer dimension —
     // static side broadcast per micro-batch.
     Q(

@@ -2255,6 +2255,154 @@ object TextQueries {
         ORDER BY cnt DESC, a, b
         LIMIT 20""")),
 
+    // H (round 19): BPE MERGE APPLICATION — the apply half of the
+    // llm_bpe_merges train/apply pair (the bigram-LM precedent): tokenize
+    // the corpus WITH the trained merge table. Each merge (a, b), taken
+    // in rank order (cnt DESC, a, b), is one greedy left-to-right
+    // non-overlapping pass over every word's symbol sequence — exactly
+    // the fast-apply every deployed BPE tokenizer runs (Sennrich et al.
+    // 2016 §3; the trained artifact is a RANKED list precisely so apply
+    // never re-counts). Output per document: pre-BPE symbol count
+    // (chars), post-merge token count, and chars-per-token compression.
+    //
+    // The hash-verifiable trick is the SEPARATOR-STRING encoding: a word
+    // becomes "\1\1c1\1\1c2\1\1...\1\1" (every symbol flanked by a DOUBLE
+    // \x01), and applying merge (a,b) is one replace() of "\1a\1\1b\1"
+    // with "\1ab\1" — string replace is left-to-right non-overlapping in
+    // BOTH engines, which IS greedy BPE pass semantics, and the shared
+    // boundary separator keeps consecutive matches adjacent ("abab" →
+    // [ab, ab], verified) while the flanking \1s stop a pattern from
+    // matching inside a previously merged 2-char symbol ("xa b" never
+    // matches "a b"). The fold over the 20 ranked merges is Spark
+    // `aggregate` / DuckDB `list_reduce` (init smuggled as the prepended
+    // first element — DuckDB 1.0 list_reduce has no init parameter).
+    // Token counts read back off the separators: #"\1"/2 − 1. Corpus
+    // text never contains \x01/\x02 (driver fixture + fuzz contract).
+    //
+    // Scale shape: the merge table is ≤ alphabet² rows collapsed to ONE
+    // array row — broadcast BY CONSTRUCTION at any corpus size; apply is
+    // a map-only per-doc lambda over the broadcast-joined corpus scan (a
+    // production tokenizer would additionally cache per DISTINCT word —
+    // the llm_bpe_merges histogram trick — at the price of two more
+    // corpus shuffles; the map-only form keeps the plan join-free past
+    // the broadcast). Training's own stages are vocab-bound after its
+    // one word-histogram exchange, unchanged from llm_bpe_merges.
+    Q(
+      "llm_bpe_apply",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(filter(split(lower(col("text")), " "),
+            t => t =!= "")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val ml = words
+          .select(col("n"), explode(expr(
+            """if(length(w) < 2, array(),
+              |   transform(sequence(1, length(w) - 1),
+              |     i -> struct(substring(w, i, 1) AS a,
+              |                 substring(w, i + 1, 1) AS b)))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).cast("bigint").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20)
+          // One array row in rank order: struct sort on (−cnt, a, b) —
+          // the exact ORDER BY above (collect_list alone is
+          // partition-order nondeterministic).
+          .agg(transform(
+            sort_array(collect_list(struct((-col("cnt")).as("nc"),
+              col("a"), col("b")))),
+            m => struct(m.getField("a").as("a"), m.getField("b").as("b")))
+            .as("ml"))
+        Tables.documents(s, d)
+          .crossJoin(broadcast(ml))
+          .withColumn("ws", expr(
+            """transform(filter(split(lower(text), ' '), t -> t <> ''),
+              |  w -> concat(char(1), char(1),
+              |         array_join(transform(sequence(1, length(w)),
+              |             i -> substring(w, i, 1)),
+              |           concat(char(1), char(1))),
+              |         char(1), char(1)))""".stripMargin))
+          .withColumn("es", expr(
+            """transform(ws, s0 -> aggregate(ml, s0,
+              |  (acc, m) -> replace(acc,
+              |     concat(char(1), m.a, char(1), char(1), m.b, char(1)),
+              |     concat(char(1), m.a, m.b, char(1)))))""".stripMargin))
+          .select(col("doc_id"),
+            expr("""coalesce(aggregate(ws, 0L, (acc1, s1) ->
+                   |  acc1 + ((length(s1) - length(replace(s1, char(1), '')))
+                   |          div 2) - 1), 0L)""".stripMargin)
+              .as("n_sym_before"),
+            expr("""coalesce(aggregate(es, 0L, (acc2, s2) ->
+                   |  acc2 + ((length(s2) - length(replace(s2, char(1), '')))
+                   |          div 2) - 1), 0L)""".stripMargin)
+              .as("n_tokens"))
+          .select(col("doc_id"), col("n_sym_before"), col("n_tokens"),
+            when(col("n_tokens") > 0,
+              col("n_sym_before").cast("double") / col("n_tokens"))
+              .as("chars_per_tok"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) AS w
+            FROM documents) GROUP BY w),
+        p AS (
+          SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, n
+          FROM (
+            SELECT w.w AS w, w.n AS n,
+                   CAST(unnest(range(1, length(w.w))) AS INTEGER) AS i
+            FROM w)),
+        m AS (
+          SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+          FROM p GROUP BY a, b
+          ORDER BY cnt DESC, a, b
+          LIMIT 20),
+        -- merges encoded as 'pattern\2replacement' strings so the reduce
+        -- list stays VARCHAR-uniform with the prepended init word.
+        ml AS (
+          SELECT list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
+                      || chr(2) || chr(1) || a || b || chr(1)
+                      ORDER BY cnt DESC, a, b) AS merges
+          FROM m),
+        enc AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split(lower(text), ' '),
+                     t -> t <> ''),
+                   w -> chr(1) || chr(1) ||
+                        array_to_string(list_transform(
+                            range(1, length(w) + 1), i -> substr(w, i, 1)),
+                          chr(1) || chr(1)) ||
+                        chr(1) || chr(1)) AS ws
+          FROM documents),
+        applied AS (
+          SELECT enc.doc_id,
+                 list_transform(enc.ws,
+                   s -> list_reduce(list_prepend(s, ml.merges),
+                          (acc, e) -> replace(acc, split_part(e, chr(2), 1),
+                                              split_part(e, chr(2), 2)))) AS es
+          FROM enc CROSS JOIN ml)
+        SELECT a.doc_id,
+               CAST(coalesce(list_sum(list_transform(e.ws,
+                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
+                 0) AS BIGINT) AS n_sym_before,
+               CAST(coalesce(list_sum(list_transform(a.es,
+                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
+                 0) AS BIGINT) AS n_tokens,
+               CASE WHEN coalesce(list_sum(list_transform(a.es,
+                      s -> (length(s) - length(replace(s, chr(1), ''))) // 2
+                           - 1)), 0) > 0
+                 THEN CAST(coalesce(list_sum(list_transform(e.ws,
+                        s -> (length(s) - length(replace(s, chr(1), '')))
+                             // 2 - 1)), 0) AS DOUBLE)
+                      / CAST(coalesce(list_sum(list_transform(a.es,
+                          s -> (length(s) - length(replace(s, chr(1), '')))
+                               // 2 - 1)), 0) AS DOUBLE)
+                 ELSE NULL END AS chars_per_tok
+        FROM applied a JOIN enc e USING (doc_id)
+        ORDER BY a.doc_id""")),
+
     // H: deterministic train/valid/test split assignment (round 18) —
     // the last step of every curation pipeline before tokenization:
     // every document lands in exactly one of train/valid/test at 90/5/5

@@ -1628,5 +1628,83 @@ object VectorQueries {
                list_dot_product(dv.ds, $pqOnesSql) AS recon_err,
                list_dot_product(e.v, e.v) AS l2sq
         FROM dv JOIN e ON e.vec_id = dv.vec_id
-        ORDER BY dv.vec_id""")))
+        ORDER BY dv.vec_id""")),
+
+    // H (round 19): PQ CODEBOOK TRAINING — one per-subspace Lloyd
+    // iteration over the seed codebook, the production training step the
+    // PQ family documents as its stand-in's successor (doc above pqIndex:
+    // "a production deployment would Lloyd-refine it with exactly
+    // llm_kmeans_update's machinery" — this row IS that refinement).
+    // Assignment is the family's existing double-domain argmin (the
+    // pqIndex codes — a Lloyd E-step); the update is llm_kmeans_update's
+    // quantized-BIGINT M-step verbatim: per (subspace, codeword,
+    // sub-dimension), the member count, the exact BIGINT sum of int8
+    // per-vector-quantized components, and their mean. BIGINT sums are
+    // shuffle-order-insensitive-exact where a double fold is not, and the
+    // one final division is IEEE-identical in both engines — which keeps
+    // a TRAINING pass hash-verifiable. A full PQ train loops this row
+    // with the previous output as the codebook (the kmeans_update
+    // precedent: one iteration declared because the fixpoint is
+    // corpus-dependent while one update is exactly oracle-able);
+    // AnnRecallSpec measures the recall the refined book buys over the
+    // seed book on this corpus.
+    //
+    // Scale shape: quantization is map-only; qv ⋈ codes joins two
+    // corpus-bound sides on vec_id — SHUFFLE join, never broadcast
+    // (pinned, the kmeans_update discipline); the subspace slice explode
+    // is PqDsub = 8 rows per code row feeding ONE linear (m, k, dim)
+    // aggregation with map-side partials; output is M·K·Dsub = 1024
+    // rows — codebook-scale, not corpus-scale.
+    Q(
+      "llm_pq_train",
+      (s, d) => {
+        val (e, _, codes) = pqIndex(s, d)
+        val q = e
+          .select(col("vec_id"), col("v"),
+            array_max(transform(col("v"), x => abs(x))).as("scale"))
+          .select(col("vec_id"),
+            when(col("scale") > 0,
+              transform(col("v"),
+                x => floor(x / col("scale") * 127d + 0.5d).cast("bigint")))
+              .otherwise(transform(col("v"), _ => lit(0L))).as("q"))
+        q.join(codes, "vec_id")
+          .select(col("m"), col("code").as("k"),
+            posexplode(pqSub(col("q"), col("m"))).as(Seq("dim", "qc")))
+          .groupBy(col("m"), col("k"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("qc")).as("qsum"))
+          .select(col("m"), col("k"), col("dim").cast("bigint").as("dim"),
+            col("n"), col("qsum").cast("bigint").as("qsum"),
+            (col("qsum").cast("double") / col("n").cast("double"))
+              .as("q_mean"))
+          .orderBy(col("m"), col("k"), col("dim"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        $pqCodesSql,
+        -- the llm_kmeans_update sc → qv quantization spelling (that
+        -- oracle embeds it after hierCellsSql; here the cells are the PQ
+        -- codes, so the chain stands alone).
+        sc AS (
+          SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM e),
+        qv AS (
+          SELECT e.vec_id,
+                 CASE WHEN sc.scale > 0
+                   THEN list_transform(e.v,
+                     x -> CAST(floor(x / sc.scale * 127 + 0.5) AS BIGINT))
+                   ELSE list_transform(e.v, x -> CAST(0 AS BIGINT))
+                 END AS q
+          FROM e JOIN sc USING (vec_id)),
+        x AS (
+          SELECT codes.m, codes.code AS k, r.i AS dim,
+                 qv.q[codes.m * $PqDsub + r.i + 1] AS qc
+          FROM qv JOIN codes USING (vec_id), range(0, $PqDsub) r(i))
+        SELECT m, k, CAST(dim AS BIGINT) AS dim,
+               count(*) AS n,
+               CAST(sum(qc) AS BIGINT) AS qsum,
+               CAST(sum(qc) AS DOUBLE) / count(*) AS q_mean
+        FROM x GROUP BY m, k, dim
+        ORDER BY m, k, dim""")))
 }

@@ -104,6 +104,47 @@ object StreamOps {
         col("c_event_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** S15 (round 19) — stream-stream LEFT OUTER join: every purchase, with
+    * its ±30-minute same-user clicks where they exist and NULL click
+    * columns where none do. The outer leg is the one streaming semantics
+    * no inner row exercises: an unmatched left row sits in state until the
+    * watermark proves no future click can land in its interval, and only
+    * then emits with nulls — so under AvailableNow the null rows surface
+    * in the trailing no-data batch, and ONLY for rows whose interval the
+    * final watermark has passed. End-of-input alone never pushes the
+    * watermark past the last real purchase, so (exactly like
+    * stream_session) the declared query feeds the far-future sentinel
+    * through BOTH side filters (`user_id === -1`) to force every real
+    * row's state to resolve; the sentinel's own self-match is filtered
+    * from the output. With that push the AvailableNow result equals the
+    * batch left join bit-for-bit — which is what makes the row
+    * hash-verifiable against DuckDB.
+    *
+    * Scale posture: state is keyed by user and bounded by the watermark ×
+    * interval band on both sides (without the time bound an outer join
+    * would buffer the full history); the only exchange is the user-keyed
+    * state shuffle both sides share.
+    */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .where(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events
+      .where(col("event_type") === "click" || col("user_id") === -1L)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("p_event_id"),
+        col("c_event_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** S7 — stream-static enrichment join: events against the (batch)
     * customer dimension. The static side is re-planned per micro-batch and
     * broadcast when small — the canonical dimension-enrichment shape.

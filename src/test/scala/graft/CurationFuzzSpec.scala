@@ -98,6 +98,14 @@ class CurationFuzzSpec extends GraftSpec {
     // enumeration (the sequence(1,0)-descending guard), and the dup-heavy
     // sentences make the histogram weighting observable.
     "llm_bpe_merges",
+    // BPE merge application (r19): the separator-string fold over the
+    // SAME adversarial surface — multibyte chars must encode as ONE
+    // symbol (per-char substr agreement again, now on the APPLY side),
+    // 1-char words carry zero merge sites but still count one token,
+    // empty/whitespace docs take the coalesce-to-0 branch, and the
+    // dup-heavy sentences give the trained merges live application
+    // targets so n_tokens < n_sym_before is genuinely exercised.
+    "llm_bpe_apply",
     // Percentile length trim (r18, second session): the fuzz corpus's
     // giant repetition doc and empty/whitespace docs are genuine length
     // tails, and its tiny per-lang groups force the interpolation's

@@ -789,4 +789,51 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"),
       s"top-k must prune as WindowGroupLimit heaps:\n${p.take(3000)}")
   }
+
+  test("llm_bpe_apply: map-only application past ONE broadcast merge array") {
+    // The apply claim: the trained merge table collapses to one array row
+    // (alphabet²-bound BY CONSTRUCTION) and attaches to the corpus scan as
+    // a hinted broadcast nested-loop of that single row; everything
+    // downstream is per-doc lambda work. Under threshold=-1 that must be
+    // the ONLY BroadcastExchange, and no shuffle join may appear anywhere
+    // (training is join-free per the llm_bpe_merges pin; a shuffle join
+    // here would mean the apply side re-touches the corpus).
+    val p = planNoAutoBroadcast("llm_bpe_apply")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"exactly the merge-array row may broadcast:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row merge array must attach as BNLJ:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join belongs in BPE apply:\n${p.take(3000)}")
+  }
+
+  test("llm_pq_train: qv joins codes by SHUFFLE, only the codebook broadcasts") {
+    // The M-step joins two CORPUS-bound sides (quantized vectors ⋈ code
+    // assignments) on vec_id — the kmeans_update discipline: a broadcast
+    // of either would ship the corpus to every executor. Under
+    // threshold=-1 the only BroadcastExchange allowed is the 128-row seed
+    // codebook inside the E-step's assignment expansion.
+    val p = planNoAutoBroadcast("llm_pq_train")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"qv ⋈ codes must be a shuffle join:\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"only the M·K codebook may broadcast:\n${p.take(3000)}")
+  }
+
+  test("stream_outer_join: left-outer by shuffle, neither event side broadcast") {
+    // Batch form of the S15 transform: both sides are the corpus-scale
+    // event stream, so under threshold=-1 the left join must shuffle on
+    // the user key with ZERO BroadcastExchanges — the same state-shuffle
+    // shape the streaming symmetric-hash join partitions by.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    val p = graft.streaming.StreamOps.purchaseClickLeftJoin(
+      Tables.events(s, TestEnv.Sf01)).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"),
+      s"neither event side may broadcast:\n${p.take(3000)}")
+    assert(("SortMergeJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined ||
+        "ShuffledHashJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined),
+      s"expected a shuffled LeftOuter join:\n${p.take(3000)}")
+  }
 }

@@ -90,6 +90,23 @@ class StreamingEquivalenceSpec extends GraftSpec {
         .orderBy(col("p_event_id"), col("c_event_id")))
   }
 
+  test("S15 left-outer stream-stream join: AvailableNow equals batch left join") {
+    // The sentinel (admitted through both side filters via user_id = -1)
+    // pushes the final watermark past every real purchase's ±30min band,
+    // so every unmatched purchase's null row must surface — making the
+    // streaming result equal the batch left join exactly.
+    val stream = EventStream.runAvailableNow(spark, "eq_s15",
+      StreamOps.purchaseClickLeftJoin(
+        EventStream.readEventsWithSentinel(spark, sf)), "append")
+      .where(col("user_id") =!= -1L)
+    assertSameRows(
+      stream.orderBy(col("p_event_id"), col("c_event_id")),
+      StreamOps.purchaseClickLeftJoin(Tables.events(spark, sf))
+        .orderBy(col("p_event_id"), col("c_event_id")))
+    assert(stream.where(col("c_event_id").isNull).count() > 0,
+      "the fixture must exercise the outer (null-emission) path")
+  }
+
   test("S7 stream-static join: AvailableNow equals batch join") {
     val customer = Tables.customer(spark, sf)
     val stream = EventStream.runAvailableNow(spark, "eq_s7",
@@ -186,6 +203,40 @@ class StreamingEquivalenceSpec extends GraftSpec {
     val u1 = out.where(col("user_id") === 1).orderBy(col("session_start"))
       .collect().map(_.getAs[Long]("n_events")).toSeq
     assert(u1 == Seq(2L, 1L))
+  }
+
+  test("S15 policy: outer null rows emit only when the watermark passes the interval") {
+    // The contract the declared row leans on: an unmatched purchase is
+    // WITHHELD while a matching click could still arrive (watermark ≤
+    // interval end), and emits with nulls exactly once the watermark
+    // proves otherwise. Batch 1 alone leaves the watermark 1h behind its
+    // max ts, so only the inner match may emit; the far-future sentinel
+    // batch then expires the state and the null row must appear.
+    val batch1 = Seq(
+      ev(1, T0, 1, "purchase"),            // no click within ±30min → outer
+      ev(2, T0 + 60, 3, "purchase"),       // matched pair → inner
+      ev(3, T0 + 120, 3, "click"),
+      // Wrong user for event 1, and ts kept near T0: the batch-1 max ts
+      // minus the 1h delay must stay BEHIND event 1's interval end, or
+      // the withheld assertion would race the no-data batch's eviction.
+      ev(4, T0 + 90, 2, "click"))
+    val sentinel = Seq(ev(99, T0 + 86400, -1, "sentinel"))
+
+    val withheld = runBatches(StreamOps.purchaseClickLeftJoin, "append", batch1)
+      .where(col("user_id") =!= -1L).collect()
+    assert(withheld.map(_.getAs[Long]("p_event_id")).toSeq == Seq(2L),
+      "only the inner match may emit before the watermark passes event 1's band")
+
+    val flushed = runBatches(StreamOps.purchaseClickLeftJoin, "append",
+      batch1, sentinel)
+      .where(col("user_id") =!= -1L)
+      .orderBy(col("p_event_id")).collect()
+    assert(flushed.map(_.getAs[Long]("p_event_id")).toSeq == Seq(1L, 2L),
+      "the sentinel push must flush event 1's null row exactly once")
+    val outer = flushed.head
+    assert(outer.isNullAt(outer.fieldIndex("c_event_id")) &&
+      outer.isNullAt(outer.fieldIndex("c_ts")),
+      "the flushed unmatched row must carry NULL click columns")
   }
 
   test("S8 policy: funnel state carries across micro-batches") {

@@ -143,6 +143,17 @@ class StreamingReplaySpec extends GraftSpec {
       StreamOps.purchaseClickJoin(batchEvents), "p_event_id", "c_event_id")
   }
 
+  test("S15 left-outer join over a 4-batch replay equals the batch left join") {
+    // Outer state resolves across REAL batch boundaries here: matches emit
+    // as their batches arrive, withheld unmatched purchases flush when the
+    // sentinel (riding the final batch) pushes the watermark past their
+    // bands — and the union must still equal the batch left join.
+    val streamed = runReplay("s15", "append", StreamOps.purchaseClickLeftJoin,
+      withSentinel = true).where(col("user_id") =!= -1L)
+    assertSame(streamed, StreamOps.purchaseClickLeftJoin(batchEvents),
+      "p_event_id", "c_event_id")
+  }
+
   test("S7 stream-static enrichment over a 4-batch replay equals batch") {
     val customer = Tables.customer(spark, sf)
     assertSame(

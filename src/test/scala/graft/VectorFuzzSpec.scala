@@ -41,7 +41,9 @@ class VectorFuzzSpec extends GraftSpec {
     "llm_ann_ivfpq",          // cell-pruned ADC over the same tie surface
     "llm_pq_recon",           // zero-vector distortion (0-d2 path) + clones
     "llm_kmeans_shift",       // zero-vector seed cells (q≡0 vs mean) + clones
-    "llm_pq_pack")            // packed nibbles over clone/zero code ties
+    "llm_pq_pack",            // packed nibbles over clone/zero code ties
+    "llm_pq_train")           // Lloyd M-step: clone groups pile exact BIGINT
+                              // sums on one codeword; zeros hit scale=0
 
   test("clone/zero/near-clone embedding corpus: vector rows agree with DuckDB") {
     val rnd = new Random(0x5EED15)
