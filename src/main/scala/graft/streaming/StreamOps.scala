@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** SURVEY §2.2-I — the streaming operator surface (S1–S9), expressed as
+/** SURVEY §2.2-I — the streaming operator surface (S1–S15), expressed as
   * MODE-AGNOSTIC transforms: every function here takes a DataFrame that may
   * be either a streaming source (readStream) or a batch scan of the same
   * rows, and produces the identical logical plan on both. That single-source
