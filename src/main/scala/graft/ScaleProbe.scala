@@ -249,7 +249,19 @@ object ScaleProbe {
     // density, so matches and null-emissions both grow linearly); the
     // wall ratio checks the watermark actually bounds state at 100× the
     // stream.
-    "stream_outer_join")
+    "stream_outer_join",
+    // round 19 (second session): the duplicated-span audit — positional
+    // 5-gram explode, gram agg, reduced dup set shuffle-joined back,
+    // bounded offset expansion, one count-distinct agg; all linear (the
+    // staged clones multiply every gram's count, enlarging the dup set
+    // toward the full vocabulary — the audit's worst case, still
+    // join-linear, which is what the wall ratio checks).
+    "llm_dedup_spans",
+    // round 19 (second session): the recursive CTE — depth is
+    // calendar-bounded (the month span), width is the pruned customer
+    // set; the staged legs grow only the per-month COUNT side, and the
+    // pushed o_custkey filter must keep that growth scan-bound.
+    "subq_recursive_cte")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -76,5 +76,70 @@ object SubqQueries {
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority""")))
+        ORDER BY o_orderpriority""")),
+
+    // G (round 19): RECURSIVE CTE — Spark 4's WITH RECURSIVE surface
+    // (SPARK-24497), declared on the classic gap-filling shape no window
+    // or join can express without a generator: per customer, the full
+    // month series from their first to their last order month, with
+    // per-month order counts ZERO-FILLED for the gap months (the
+    // activity-timeline densification every cohort/retention query needs).
+    // The recursion is the series generator: base = one (customer,
+    // first_month) row per customer, step = advance one month while
+    // m < last_month. Spark evaluates it level-synchronously — each level
+    // is ONE distributed self-union step over ALL customers, so the
+    // recursion is breadth-parallel: depth is bounded by the CALENDAR
+    // span in months (79 on this fixture, under the default
+    // spark.sql.cteRecursionLevelLimit = 100 — a wider-span corpus raises
+    // the conf), never by data size; width (customers per level)
+    // partitions horizontally like any other row set. The customer bound
+    // keeps the declared output audit-sized (the join_cross discipline);
+    // the month-count side aggregates the UNBOUNDED orders table.
+    // (sequence()-between-dates expresses the same series generator
+    // Spark-natively — the row exists to declare the recursive-CTE
+    // surface itself, which also covers transitive-closure shapes
+    // sequence() cannot.)
+    Q(
+      "subq_recursive_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_src")
+        s.sql("""
+          WITH RECURSIVE series AS (
+            SELECT o_custkey AS c,
+                   CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS m,
+                   CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS mend
+            FROM orders_src WHERE o_custkey < 100 GROUP BY o_custkey
+            UNION ALL
+            SELECT c, CAST(m + INTERVAL '1' MONTH AS DATE) AS m, mend
+            FROM series WHERE m < mend
+          ),
+          per_month AS (
+            SELECT o_custkey AS c,
+                   CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                   count(*) AS n
+            FROM orders_src WHERE o_custkey < 100 GROUP BY 1, 2
+          )
+          SELECT s.c, s.m, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+          FROM series s LEFT JOIN per_month p ON p.c = s.c AND p.m = s.m
+          ORDER BY s.c, s.m""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE series AS (
+          SELECT o_custkey AS c,
+                 CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS m,
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mend
+          FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
+          UNION ALL
+          SELECT c, CAST(m + INTERVAL 1 MONTH AS DATE) AS m, mend
+          FROM series WHERE m < mend
+        ),
+        per_month AS (
+          SELECT o_custkey AS c,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n
+          FROM orders WHERE o_custkey < 100 GROUP BY 1, 2
+        )
+        SELECT s.c, s.m, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+        FROM series s LEFT JOIN per_month p ON p.c = s.c AND p.m = s.m
+        ORDER BY s.c, s.m""")))
 }

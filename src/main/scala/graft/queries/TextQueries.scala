@@ -1907,6 +1907,85 @@ object TextQueries {
         FROM per
         ORDER BY doc_id""")),
 
+    // H (round 19): DUPLICATED-SPAN AUDIT — the token-POSITION quantity
+    // behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better": remove every span
+    // that occurs verbatim elsewhere in the corpus), at k-gram
+    // granularity (k = 5, their 50-token threshold scaled to the
+    // fixture's short docs): per document, how many token positions sit
+    // inside at least one 5-gram whose corpus OCCURRENCE count is ≥ 2 —
+    // within-doc repeats count, exactly as a suffix array would see
+    // them. This is deliberately NOT llm_dupgram_fraction: that row
+    // counts distinct shingle TYPES shared with other docs (the
+    // corpus-duplication diagnostic); this one measures the COVERED
+    // POSITIONS a span-removal pass would actually cut, via the interval
+    // union (a position under three overlapping dup grams counts once).
+    //
+    // Scale shape: one positional 5-gram explode (corpus-linear), one
+    // (gram) hash agg with map-side partials, the dup-gram set reduced
+    // BEFORE the join back (HAVING ≥ 2 — typically a small fraction of
+    // the vocabulary), gram-keyed SHUFFLE join (the frequency side is
+    // corpus-vocabulary-scale, never broadcast — pinned), a ≤5× offset
+    // expansion of dup positions only, and one count_distinct(doc, pos)
+    // agg whose partials dedup map-side. One row per doc out via the
+    // left join back to the linear token-count side.
+    Q(
+      "llm_dedup_spans",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), toksAll(col("text")).as("tk"))
+        val g = toks
+          .select(col("doc_id"), explode(expr(
+            """if(size(tk) < 5, array(),
+              |   transform(sequence(1, size(tk) - 4),
+              |     i -> struct(i AS pos,
+              |                 array_join(slice(tk, i, 5), ' ') AS gram)))"""
+              .stripMargin)).as("pg"))
+          .select(col("doc_id"), col("pg.pos").as("pos"),
+            col("pg.gram").as("gram"))
+          .persist()
+        val dups = g.groupBy(col("gram"))
+          .agg(count(lit(1)).as("n")).where(col("n") >= 2)
+          .select(col("gram"))
+        val cov = g.join(dups, "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 4)).as("p"))
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("p")).as("n_dup_tokens"))
+        val nTok = when(col("tk").isNull, 0L)
+          .otherwise(size(col("tk")).cast("bigint"))
+        toks.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+            when(col("n_tokens") > 0,
+              col("n_dup_tokens").cast("double") / col("n_tokens"))
+              .as("dup_span_frac"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, $toksAllDuck AS tk FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+          FROM (SELECT doc_id, tk,
+                       CAST(unnest(range(1, len(tk) - 3)) AS INTEGER) AS i
+                FROM t WHERE len(tk) >= 5)),
+        dups AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT g.doc_id, count(DISTINCT g.pos + o.o) AS n_dup_tokens
+          FROM g JOIN dups USING (gram), (SELECT unnest(range(5)) AS o) o
+          GROUP BY g.doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(len(t.tk), 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+               CASE WHEN coalesce(len(t.tk), 0) > 0
+                 THEN CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE)
+                      / len(t.tk)
+                 ELSE NULL END AS dup_span_frac
+        FROM t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id""")),
+
     // H: bigram LM training (round 18) — the count half of a CCNet/
     // KenLM-style fluency filter: corpus bigram transition counts with
     // Laplace smoothing, P(w2|w1) = (c12 + 1)/(c1 + V) where c1 is w1's

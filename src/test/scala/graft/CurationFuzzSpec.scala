@@ -177,6 +177,13 @@ class CurationFuzzSpec extends GraftSpec {
     // and the giant repetition doc's distinct-shingle collapse
     // (array_distinct vs list_distinct) must agree before the fraction.
     "llm_dupgram_fraction",
+    // Duplicated-span audit (r19): the giant repetition doc is ALL
+    // overlapping duplicate 5-grams (the interval-union path where every
+    // position is covered many times but counts once), identical fuzz
+    // sentences duplicate spans ACROSS docs, token-poor docs (< 5
+    // tokens, incl. empty/whitespace/NULL via coalesce) must emit
+    // n_dup_tokens = 0 rows — not vanish — in BOTH engines.
+    "llm_dedup_spans",
     // Split assignment (r18): pure doc_id arithmetic — included so the
     // 90/5/5 boundaries are exercised on a doc_id range (0..66) the
     // driver corpus doesn't cover.

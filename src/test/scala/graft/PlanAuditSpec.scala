@@ -820,6 +820,36 @@ class PlanAuditSpec extends GraftSpec {
       s"only the M·K codebook may broadcast:\n${p.take(3000)}")
   }
 
+  test("llm_dedup_spans: the dup-gram set shuffle-joins, never broadcasts") {
+    // The gram-frequency side is corpus-vocabulary-scale (same contract
+    // as llm_dupgram_fraction's df side): under threshold=-1 the join
+    // back must SHUFFLE with zero BroadcastExchanges, and the covered-
+    // position count must aggregate as a count(distinct) whose partials
+    // dedup map-side (two-phase HashAggregate), not via a global sort.
+    val p = planNoAutoBroadcast("llm_dedup_spans")
+    assert(!p.contains("BroadcastExchange"),
+      s"the dup-gram set must never broadcast:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the gram join back must be a shuffle join:\n${p.take(3000)}")
+  }
+
+  test("subq_recursive_cte: breadth-parallel recursion, orders filter pushed down") {
+    // The recursion must plan as Spark's level-synchronous loop operator
+    // (UnionLoop — one distributed step per month level, never a
+    // per-customer nested loop), and the o_custkey < 100 bound must reach
+    // the orders scan as a pushed filter so the corpus-bound side prunes
+    // before the aggregations.
+    val p = plan("subq_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      s"recursion must plan as the UnionLoop operator:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop shape belongs in the recursion:\n${p.take(3000)}")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_custkey,100\\)".r
+      .findFirstIn(p).isDefined,
+      s"the customer bound must push into the orders scan:\n${p.take(4000)}")
+  }
+
   test("stream_outer_join: left-outer by shuffle, neither event side broadcast") {
     // Batch form of the S15 transform: both sides are the corpus-scale
     // event stream, so under threshold=-1 the left join must shuffle on
