@@ -89,9 +89,10 @@ object SubqQueries {
     // m < last_month. Spark evaluates it level-synchronously — each level
     // is ONE distributed self-union step over ALL customers, so the
     // recursion is breadth-parallel: depth is bounded by the CALENDAR
-    // span in months (79 on this fixture, under the default
-    // spark.sql.cteRecursionLevelLimit = 100 — a wider-span corpus raises
-    // the conf), never by data size; width (customers per level)
+    // span in months (79 on this fixture; the wrapper pins
+    // spark.sql.cteRecursionLevelLimit = 512 so a wider-span corpus keeps
+    // working up to ~42 years and still fails loudly beyond — r19
+    // ADVICE), never by data size; width (customers per level)
     // partitions horizontally like any other row set. The customer bound
     // keeps the declared output audit-sized (the join_cross discipline);
     // the month-count side aggregates the UNBOUNDED orders table.
@@ -102,6 +103,18 @@ object SubqQueries {
     Q(
       "subq_recursive_cte",
       (s, d) => {
+        // Recursion-depth guard (r19 ADVICE): depth equals the corpus's
+        // calendar span in months (79 on this fixture), and a >=100-month
+        // corpus would hard-fail at the default
+        // spark.sql.cteRecursionLevelLimit = 100. 512 covers a ~42-year
+        // span with the same loud-failure backstop beyond it. Set WITHOUT
+        // the Tables.events save/restore idiom deliberately: UnionLoopExec
+        // reads the limit from the session conf at EXECUTION time (after
+        // this fn returns the lazy DataFrame), so a scoped restore would
+        // silently undo the guard before the loop ever runs. The limit has
+        // no effect on any non-recursive query, so leaving it set is
+        // shared-session-safe.
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "512")
         Tables.orders(s, d).createOrReplaceTempView("orders_src")
         s.sql("""
           WITH RECURSIVE series AS (

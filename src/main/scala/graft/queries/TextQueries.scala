@@ -2439,11 +2439,15 @@ object TextQueries {
           ORDER BY cnt DESC, a, b
           LIMIT 20),
         -- merges encoded as 'pattern\2replacement' strings so the reduce
-        -- list stays VARCHAR-uniform with the prepended init word.
+        -- list stays VARCHAR-uniform with the prepended init word. The
+        -- coalesce guards the no-merges corpus (every word 1 char): list()
+        -- over zero rows is NULL in DuckDB where Spark's collect_list is
+        -- [], and a NULL merge list would NULL the whole fold — n_tokens
+        -- would read 0 against Spark's real symbol count (r19 ADVICE).
         ml AS (
-          SELECT list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
+          SELECT coalesce(list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
                       || chr(2) || chr(1) || a || b || chr(1)
-                      ORDER BY cnt DESC, a, b) AS merges
+                      ORDER BY cnt DESC, a, b), []) AS merges
           FROM m),
         enc AS (
           SELECT doc_id,

@@ -285,6 +285,46 @@ class CurationFuzzSpec extends GraftSpec {
     } finally con.close()
   }
 
+  test("all-1-char-words corpus: BPE apply agrees on the empty merge table") {
+    // r19 ADVICE: when NO word has >= 2 chars the merge table is empty.
+    // Spark's collect_list over zero rows is [] and the fold returns the
+    // real symbol count; DuckDB's list() is NULL, and before the oracle's
+    // coalesce([]) guard the NULLed fold made n_tokens read 0 — a latent
+    // cross-engine divergence the shared fuzz corpus never exercises
+    // (its 16-word vocabulary always trains 20 merges). This corpus pins
+    // the guard: every token is a single char (ASCII, unicode, digit), so
+    // n_tokens must equal n_sym_before and chars_per_tok must read 1.0 in
+    // BOTH engines.
+    val rows = Seq(
+      (0L, "a b c a b", "en", "src0"),
+      (1L, "é ζ 7", "de", "src1"),   // 1-char multibyte symbols
+      (2L, "x", "en", "src2"),       // lone token
+      (3L, "", "en", "src3"),        // empty doc → coalesce-to-0 branch
+      (4L, "  ", "fr", "src0"))      // whitespace-only → same branch
+    withCorpus("graft_bpe_1char", rows) { (dir, con) =>
+      for (name <- Seq("llm_bpe_apply")) {
+        val q = SparkEntry.all.find(_.name == name).get
+        val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
+        val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)
+        assert(sCols == dCols, s"$name column mismatch")
+        assert(sRows.size == 5 && dRows.size == 5,
+          s"$name must emit one row per doc: spark=${sRows.size} duckdb=${dRows.size}")
+        sRows.zip(dRows).zipWithIndex.foreach { case ((s, d), i) =>
+          assert(s == d, s"$name 1-char-corpus row $i differs:\n" +
+            s"  spark : $s\n  duckdb: $d")
+        }
+        // The semantic claim itself, not just parity: zero merges applied.
+        val byId = q.fn(spark, dir).collect().map(r =>
+          r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_sym_before"),
+            r.getAs[Long]("n_tokens"))).toMap
+        assert(byId(0L) == ((5L, 5L)) && byId(1L) == ((3L, 3L)) &&
+          byId(2L) == ((1L, 1L)) && byId(3L) == ((0L, 0L)) &&
+          byId(4L) == ((0L, 0L)),
+          s"$name: with an empty merge table tokens must equal symbols: $byId")
+      }
+    }
+  }
+
   test("NULL-text docs: curate attributes 'quality' and bm25 scores dl=0 in both engines") {
     // Round-18 review: size(regexp_extract_all(NULL)) is -1 under the
     // pinned non-ANSI config (n_pii would read -4 vs DuckDB's NULL) and
