@@ -261,7 +261,13 @@ object ScaleProbe {
     // calendar-bounded (the month span), width is the pruned customer
     // set; the staged legs grow only the per-month COUNT side, and the
     // pushed o_custkey filter must keep that growth scan-bound.
-    "subq_recursive_cte")
+    "subq_recursive_cte",
+    // round 20: the stream-stream FULL OUTER join — stream_outer_join's
+    // two-sided banded state plus the second (click-side) null-emission
+    // store; staged copies add users, not per-user density, so both
+    // sides' state and emissions grow linearly — the wall ratio checks
+    // the watermark bounds BOTH stores at 100× the stream.
+    "stream_full_outer")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -164,6 +164,37 @@ object StreamQueries {
         WHERE p.event_type = 'purchase'
         ORDER BY p_event_id, c_event_id NULLS FIRST""")),
 
+    // S16 (round 20): stream-stream FULL OUTER join — S15's
+    // watermark-driven null emission on BOTH sides (doc on
+    // StreamOps.purchaseClickFullJoin): unmatched purchases flush with
+    // NULL click columns AND unmatched clicks flush with NULL purchase
+    // columns, each once the watermark passes its band — the one sentinel
+    // (admitted through both side filters) resolves both state stores.
+    // The oracle is the batch FULL JOIN with the side filters in
+    // subqueries (a WHERE on either side would drop that side's
+    // null-extended rows); both sort keys spell NULLS FIRST because
+    // either can be NULL here and the engines' ASC-null defaults differ.
+    Q(
+      "stream_full_outer",
+      (s, d) => {
+        val withSentinel = EventStream.readEventsWithSentinel(s, d)
+        EventStream.runAvailableNow(s, "stream_full_outer",
+          StreamOps.purchaseClickFullJoin(withSentinel), "append")
+          .where(col("user_id") =!= -1L)
+          .orderBy(col("p_event_id").asc_nulls_first,
+            col("c_event_id").asc_nulls_first)
+      },
+      oracle = Some("""
+        SELECT coalesce(p.user_id, c.user_id) AS user_id,
+               p.event_id AS p_event_id, c.event_id AS c_event_id,
+               p.ts AS p_ts, c.ts AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES
+                      AND p.ts + INTERVAL 30 MINUTES
+        ORDER BY p_event_id NULLS FIRST, c_event_id NULLS FIRST""")),
+
     // S7: stream-static enrichment against the customer dimension —
     // static side broadcast per micro-batch.
     Q(

@@ -145,6 +145,45 @@ object StreamOps {
         col("c_event_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** S16 (round 20) — stream-stream FULL OUTER join: S15's machinery with
+    * null emission on BOTH sides. Matched pairs emit within the arriving
+    * micro-batch like S6; an unmatched PURCHASE emits with NULL click
+    * columns once the watermark proves no click can land in its ±30-minute
+    * band (S15's left leg); an unmatched CLICK — the side S15 never
+    * resolves — symmetrically sits in state until the watermark proves no
+    * purchase interval can still cover it, then emits with NULL purchase
+    * columns. The far-future sentinel satisfies BOTH side filters
+    * (user_id = −1), so one sentinel event pushes both watermarks past
+    * every real row's band and resolves both state stores; its self-match
+    * row is the only sentinel output and is filtered by the caller. With
+    * that push the AvailableNow result equals the batch full join
+    * bit-for-bit. user_id must coalesce across sides: an unmatched click's
+    * p_user is NULL.
+    *
+    * Scale posture: identical to S15 — state keyed by user, bounded by
+    * watermark × interval band on both sides; one shared user-keyed state
+    * shuffle, zero broadcasts (pinned in PlanAuditSpec on the batch form).
+    */
+  def purchaseClickFullJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .where(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events
+      .where(col("event_type") === "click" || col("user_id") === -1L)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("p_event_id"), col("c_event_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** S7 — stream-static enrichment join: events against the (batch)
     * customer dimension. The static side is re-planned per micro-batch and
     * broadcast when small — the canonical dimension-enrichment shape.

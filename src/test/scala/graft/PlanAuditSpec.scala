@@ -866,4 +866,26 @@ class PlanAuditSpec extends GraftSpec {
         "ShuffledHashJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined),
       s"expected a shuffled LeftOuter join:\n${p.take(3000)}")
   }
+
+  test("stream_full_outer: full-outer by shuffle, neither event side broadcast") {
+    // Batch form of the S16 transform: like S15, both sides are the
+    // corpus-scale event stream, so under threshold=-1 the full join must
+    // shuffle on the user key with ZERO BroadcastExchanges — the same
+    // two-sided state-shuffle shape the streaming symmetric-hash join
+    // partitions by (a broadcast full-outer does not even exist in Spark;
+    // the pin guards against a nested-loop fallback too).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    val p = graft.streaming.StreamOps.purchaseClickFullJoin(
+      Tables.events(s, TestEnv.Sf01)).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"),
+      s"neither event side may broadcast:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no nested-loop shape belongs in the full join:\n${p.take(3000)}")
+    assert(("SortMergeJoin [^\\n]*FullOuter".r.findFirstIn(p).isDefined ||
+        "ShuffledHashJoin [^\\n]*FullOuter".r.findFirstIn(p).isDefined),
+      s"expected a shuffled FullOuter join:\n${p.take(3000)}")
+  }
 }

@@ -107,6 +107,26 @@ class StreamingEquivalenceSpec extends GraftSpec {
       "the fixture must exercise the outer (null-emission) path")
   }
 
+  test("S16 full-outer stream-stream join: AvailableNow equals batch full join") {
+    // Both null paths must resolve: the sentinel pushes BOTH watermarks
+    // past every real row's band, so unmatched purchases (null click
+    // columns) and unmatched clicks (null purchase columns) all flush.
+    val stream = EventStream.runAvailableNow(spark, "eq_s16",
+      StreamOps.purchaseClickFullJoin(
+        EventStream.readEventsWithSentinel(spark, sf)), "append")
+      .where(col("user_id") =!= -1L)
+    val keys = Seq(col("p_event_id").asc_nulls_first,
+      col("c_event_id").asc_nulls_first)
+    assertSameRows(
+      stream.orderBy(keys: _*),
+      StreamOps.purchaseClickFullJoin(Tables.events(spark, sf))
+        .orderBy(keys: _*))
+    assert(stream.where(col("c_event_id").isNull).count() > 0,
+      "the fixture must exercise the purchase-side null-emission path")
+    assert(stream.where(col("p_event_id").isNull).count() > 0,
+      "the fixture must exercise the click-side null-emission path")
+  }
+
   test("S7 stream-static join: AvailableNow equals batch join") {
     val customer = Tables.customer(spark, sf)
     val stream = EventStream.runAvailableNow(spark, "eq_s7",
@@ -237,6 +257,44 @@ class StreamingEquivalenceSpec extends GraftSpec {
     assert(outer.isNullAt(outer.fieldIndex("c_event_id")) &&
       outer.isNullAt(outer.fieldIndex("c_ts")),
       "the flushed unmatched row must carry NULL click columns")
+  }
+
+  test("S16 policy: an unmatched CLICK is withheld, then flushes with NULL purchase columns") {
+    // The side S15 never resolves. Event 4's click has no same-user
+    // purchase whose ±30-min band could cover it — but while the
+    // watermark trails its position a matching purchase could still
+    // arrive, so the full join must WITHHOLD it (batch 1 emits only the
+    // inner match); the sentinel push must then flush it exactly once
+    // with NULL purchase columns, alongside event 1's purchase-side null
+    // row from the S15 leg.
+    val batch1 = Seq(
+      ev(1, T0, 1, "purchase"),            // no click in band → p-side null
+      ev(2, T0 + 60, 3, "purchase"),       // matched pair → inner
+      ev(3, T0 + 120, 3, "click"),
+      ev(4, T0 + 90, 2, "click"))          // no purchase in band → c-side null
+    val sentinel = Seq(ev(99, T0 + 86400, -1, "sentinel"))
+
+    val withheld = runBatches(StreamOps.purchaseClickFullJoin, "append", batch1)
+      .where(col("user_id") =!= -1L).collect()
+    assert(withheld.map(_.getAs[Long]("user_id")).toSeq == Seq(3L),
+      "only the inner match may emit before the watermark resolves both bands")
+
+    val flushed = runBatches(StreamOps.purchaseClickFullJoin, "append",
+      batch1, sentinel)
+      .where(col("user_id") =!= -1L)
+      .orderBy(col("user_id")).collect()
+    assert(flushed.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L),
+      "the sentinel push must flush both sides' null rows exactly once")
+    val pSide = flushed(0) // user 1: unmatched purchase
+    assert(pSide.getAs[Long]("p_event_id") == 1L &&
+      pSide.isNullAt(pSide.fieldIndex("c_event_id")) &&
+      pSide.isNullAt(pSide.fieldIndex("c_ts")),
+      "the unmatched purchase must carry NULL click columns")
+    val cSide = flushed(1) // user 2: unmatched click
+    assert(cSide.getAs[Long]("c_event_id") == 4L &&
+      cSide.isNullAt(cSide.fieldIndex("p_event_id")) &&
+      cSide.isNullAt(cSide.fieldIndex("p_ts")),
+      "the unmatched click must carry NULL purchase columns")
   }
 
   test("S8 policy: funnel state carries across micro-batches") {

@@ -154,6 +154,21 @@ class StreamingReplaySpec extends GraftSpec {
       "p_event_id", "c_event_id")
   }
 
+  test("S16 full-outer join over a 4-batch replay equals the batch full join") {
+    // Both sides' outer state resolves across REAL batch boundaries:
+    // matches emit as their batches arrive, and BOTH stores' withheld
+    // rows (unmatched purchases AND unmatched clicks) flush when the
+    // sentinel pushes the two watermarks past their bands.
+    val streamed = runReplay("s16", "append", StreamOps.purchaseClickFullJoin,
+      withSentinel = true).where(col("user_id") =!= -1L)
+      .withColumn("pk", coalesce(col("p_event_id"), lit(-1L)))
+      .withColumn("ck", coalesce(col("c_event_id"), lit(-1L)))
+    val batch = StreamOps.purchaseClickFullJoin(batchEvents)
+      .withColumn("pk", coalesce(col("p_event_id"), lit(-1L)))
+      .withColumn("ck", coalesce(col("c_event_id"), lit(-1L)))
+    assertSame(streamed, batch, "pk", "ck")
+  }
+
   test("S7 stream-static enrichment over a 4-batch replay equals batch") {
     val customer = Tables.customer(spark, sf)
     assertSame(
