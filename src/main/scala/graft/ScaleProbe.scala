@@ -267,7 +267,13 @@ object ScaleProbe {
     // store; staged copies add users, not per-user density, so both
     // sides' state and emissions grow linearly — the wall ratio checks
     // the watermark bounds BOTH stores at 100× the stream.
-    "stream_full_outer")
+    "stream_full_outer",
+    // round 20: the transitive closure — depth is the tree height (fixed
+    // by the 1000-key cap, NOT by data), the per-level frontier⋈edges
+    // join and the bounded rollup are index-scale, and only the two
+    // bounded customer scans touch the corpus; the wall ratio checks the
+    // closure cost stays key-cap-bound as the corpus grows 100×.
+    "subq_recursive_graph")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

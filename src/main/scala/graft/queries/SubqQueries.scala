@@ -154,5 +154,87 @@ object SubqQueries {
         )
         SELECT s.c, s.m, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
         FROM series s LEFT JOIN per_month p ON p.c = s.c AND p.m = s.m
-        ORDER BY s.c, s.m""")))
+        ORDER BY s.c, s.m""")),
+
+    // G (round 20): TRANSITIVE CLOSURE over a recursive CTE — the shape
+    // sequence() cannot express and the reason the UnionLoop surface
+    // exists (subq_recursive_cte's month series is a generator; this row
+    // is genuine graph reachability). The graph is a referral DAG built
+    // from customer keys (the join_cross key-derivation discipline):
+    // child c refers up to parent floor(c/3) — every node has ONE parent
+    // strictly below it, so the edge set is a tree (acyclic BY
+    // CONSTRUCTION; the hops < 12 bound is the defensive cycle guard a
+    // production closure always carries, inert here). The closure
+    // enumerates every (descendant, ancestor, hops) pair — unique per
+    // pair on a tree, so counts are exact — and the payload is the
+    // org-rollup every hierarchy query needs: per ancestor, subtree size,
+    // depth, and the subtree's account-balance total (exact-decimal sum
+    // cast back to double — the agg_pricing_q1 discipline; a raw double
+    // sum would hash-fork on shuffle order).
+    //
+    // Scale shape: each recursion level is ONE distributed join of the
+    // frontier against the edge set (breadth-parallel like
+    // subq_recursive_cte); depth is the tree height (log₃ of the key
+    // bound — 6 at the 1000-key cap, inert vs the pinned limit 512),
+    // total closure size is N·height (linearithmic, never quadratic on a
+    // tree). The rollup join-back side carries the SAME key bounds the
+    // closure does (every node is in [3, 1000) by construction), so it is
+    // answer-bound — broadcasting it is correct at any corpus size (the
+    // join_cross discipline), and the bounds reach the parquet scan as
+    // pushed filters (pinned). DuckDB runs the identical WITH RECURSIVE
+    // text.
+    Q(
+      "subq_recursive_graph",
+      (s, d) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "512")
+        Tables.customer(s, d).createOrReplaceTempView("customer_srg")
+        s.sql("""
+          WITH RECURSIVE edges AS (
+            SELECT c_custkey AS child,
+                   CAST(floor(c_custkey / 3) AS BIGINT) AS parent
+            FROM customer_srg WHERE c_custkey >= 3 AND c_custkey < 1000
+          ),
+          reach AS (
+            SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS hops
+            FROM edges
+            UNION ALL
+            SELECT r.node, e.parent AS anc, r.hops + CAST(1 AS BIGINT) AS hops
+            FROM reach r JOIN edges e ON e.child = r.anc
+            WHERE r.hops < 12
+          )
+          SELECT r.anc, CAST(count(*) AS BIGINT) AS n_desc,
+                 max(r.hops) AS max_hops,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS subtree_bal
+          FROM reach r
+          JOIN (SELECT c_custkey, c_acctbal FROM customer_srg
+                WHERE c_custkey >= 3 AND c_custkey < 1000) c
+            ON c.c_custkey = r.node
+          GROUP BY r.anc
+          ORDER BY r.anc""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE edges AS (
+          SELECT c_custkey AS child,
+                 CAST(floor(c_custkey / 3) AS BIGINT) AS parent
+          FROM customer WHERE c_custkey >= 3 AND c_custkey < 1000
+        ),
+        reach AS (
+          SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS hops
+          FROM edges
+          UNION ALL
+          SELECT r.node, e.parent AS anc, r.hops + CAST(1 AS BIGINT) AS hops
+          FROM reach r JOIN edges e ON e.child = r.anc
+          WHERE r.hops < 12
+        )
+        SELECT r.anc, CAST(count(*) AS BIGINT) AS n_desc,
+               max(r.hops) AS max_hops,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS subtree_bal
+        FROM reach r
+        JOIN (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_custkey >= 3 AND c_custkey < 1000) c
+          ON c.c_custkey = r.node
+        GROUP BY r.anc
+        ORDER BY r.anc""")))
 }

@@ -850,6 +850,31 @@ class PlanAuditSpec extends GraftSpec {
       s"the customer bound must push into the orders scan:\n${p.take(4000)}")
   }
 
+  test("subq_recursive_graph: UnionLoop closure, bounded scans, hops guard") {
+    // The closure must plan as the level-synchronous UnionLoop (one
+    // distributed frontier⋈edges join per level, never a per-node nested
+    // loop), the hops cycle guard must gate the recursive reference, and
+    // the key bounds must reach the ROLLUP join-back scan as pushed
+    // filters — that bound is what makes the join-back side answer-bound
+    // (broadcastable at any corpus size) instead of corpus-scale; the
+    // edge scans inside the loop carry the same bounds as Filters on the
+    // logical Relations, pushed when each iteration replans.
+    val p = plan("subq_recursive_graph")
+    assert(p.contains("UnionLoop"),
+      s"closure must plan as the UnionLoop operator:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop shape belongs in the closure:\n${p.take(3000)}")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(c_custkey,1000\\)".r
+      .findFirstIn(p).isDefined,
+      s"the key bound must push into the rollup join-back scan:\n${p.take(5000)}")
+    assert("c_custkey#\\d+L? >= 3".r.findFirstIn(p).isDefined &&
+      "c_custkey#\\d+L? < 1000".r.findFirstIn(p).isDefined,
+      s"the key bounds must reach the edge scans:\n${p.take(4000)}")
+    assert("hops#\\d+L? < 12".r.findFirstIn(p).isDefined,
+      s"the cycle guard must gate the recursive reference:\n${p.take(4000)}")
+  }
+
   test("stream_outer_join: left-outer by shuffle, neither event side broadcast") {
     // Batch form of the S15 transform: both sides are the corpus-scale
     // event stream, so under threshold=-1 the left join must shuffle on
