@@ -273,7 +273,13 @@ object ScaleProbe {
     // join and the bounded rollup are index-scale, and only the two
     // bounded customer scans touch the corpus; the wall ratio checks the
     // closure cost stays key-cap-bound as the corpus grows 100×.
-    "subq_recursive_graph")
+    "subq_recursive_graph",
+    // round 20: the vocab-cached BPE apply — the histogram exchange, the
+    // vocab-bound fold, and the occurrence join-back are all linear in
+    // corpus words (staged clones multiply occurrences, not the
+    // vocabulary); the wall ratio checks the join-back stays
+    // shuffle-linear where the map-only twin is fold-linear.
+    "llm_bpe_apply_cached")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

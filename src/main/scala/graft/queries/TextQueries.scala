@@ -2369,31 +2369,8 @@ object TextQueries {
     Q(
       "llm_bpe_apply",
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(filter(split(lower(col("text")), " "),
-            t => t =!= "")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        val ml = words
-          .select(col("n"), explode(expr(
-            """if(length(w) < 2, array(),
-              |   transform(sequence(1, length(w) - 1),
-              |     i -> struct(substring(w, i, 1) AS a,
-              |                 substring(w, i + 1, 1) AS b)))"""
-              .stripMargin)).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("n")).cast("bigint").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(20)
-          // One array row in rank order: struct sort on (−cnt, a, b) —
-          // the exact ORDER BY above (collect_list alone is
-          // partition-order nondeterministic).
-          .agg(transform(
-            sort_array(collect_list(struct((-col("cnt")).as("nc"),
-              col("a"), col("b")))),
-            m => struct(m.getField("a").as("a"), m.getField("b").as("b")))
-            .as("ml"))
         Tables.documents(s, d)
-          .crossJoin(broadcast(ml))
+          .crossJoin(broadcast(bpeMergeArray(s, d)))
           .withColumn("ws", expr(
             """transform(filter(split(lower(text), ' '), t -> t <> ''),
               |  w -> concat(char(1), char(1),
@@ -2421,70 +2398,80 @@ object TextQueries {
               .as("chars_per_tok"))
           .orderBy(col("doc_id"))
       },
-      oracle = Some("""
-        WITH w AS (
-          SELECT w, count(*) AS n FROM (
-            SELECT unnest(list_filter(string_split(lower(text), ' '),
-                     t -> t <> '')) AS w
-            FROM documents) GROUP BY w),
-        p AS (
-          SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, n
-          FROM (
-            SELECT w.w AS w, w.n AS n,
-                   CAST(unnest(range(1, length(w.w))) AS INTEGER) AS i
-            FROM w)),
-        m AS (
-          SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
-          FROM p GROUP BY a, b
-          ORDER BY cnt DESC, a, b
-          LIMIT 20),
-        -- merges encoded as 'pattern\2replacement' strings so the reduce
-        -- list stays VARCHAR-uniform with the prepended init word. The
-        -- coalesce guards the no-merges corpus (every word 1 char): list()
-        -- over zero rows is NULL in DuckDB where Spark's collect_list is
-        -- [], and a NULL merge list would NULL the whole fold — n_tokens
-        -- would read 0 against Spark's real symbol count (r19 ADVICE).
-        ml AS (
-          SELECT coalesce(list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
-                      || chr(2) || chr(1) || a || b || chr(1)
-                      ORDER BY cnt DESC, a, b), []) AS merges
-          FROM m),
-        enc AS (
-          SELECT doc_id,
-                 list_transform(list_filter(string_split(lower(text), ' '),
-                     t -> t <> ''),
-                   w -> chr(1) || chr(1) ||
-                        array_to_string(list_transform(
-                            range(1, length(w) + 1), i -> substr(w, i, 1)),
-                          chr(1) || chr(1)) ||
-                        chr(1) || chr(1)) AS ws
-          FROM documents),
-        applied AS (
-          SELECT enc.doc_id,
-                 list_transform(enc.ws,
-                   s -> list_reduce(list_prepend(s, ml.merges),
-                          (acc, e) -> replace(acc, split_part(e, chr(2), 1),
-                                              split_part(e, chr(2), 2)))) AS es
-          FROM enc CROSS JOIN ml)
-        SELECT a.doc_id,
-               CAST(coalesce(list_sum(list_transform(e.ws,
-                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
-                 0) AS BIGINT) AS n_sym_before,
-               CAST(coalesce(list_sum(list_transform(a.es,
-                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
-                 0) AS BIGINT) AS n_tokens,
-               CASE WHEN coalesce(list_sum(list_transform(a.es,
-                      s -> (length(s) - length(replace(s, chr(1), ''))) // 2
-                           - 1)), 0) > 0
-                 THEN CAST(coalesce(list_sum(list_transform(e.ws,
-                        s -> (length(s) - length(replace(s, chr(1), '')))
-                             // 2 - 1)), 0) AS DOUBLE)
-                      / CAST(coalesce(list_sum(list_transform(a.es,
-                          s -> (length(s) - length(replace(s, chr(1), '')))
-                               // 2 - 1)), 0) AS DOUBLE)
-                 ELSE NULL END AS chars_per_tok
-        FROM applied a JOIN enc e USING (doc_id)
-        ORDER BY a.doc_id""")),
+      oracle = Some(bpeApplyOracleSql)),
+
+    // H (round 20): VOCAB-CACHED BPE APPLICATION — the production
+    // tokenizer form of llm_bpe_apply at 100 TB: the greedy merge fold
+    // runs once per DISTINCT word (the llm_bpe_merges histogram trick —
+    // at web scale words repeat heavily, Zipf, so the fold work drops
+    // from per-OCCURRENCE to per-VOCAB-ENTRY), and per-word token counts
+    // join back to the (doc, word) occurrence table. The trade vs the
+    // map-only row: the fold shrinks by the corpus/vocab ratio, but the
+    // plan pays corpus shuffles the map-only form never does — the
+    // (doc_id, word) histogram exchange, the vocab join-back on word
+    // (SHUFFLE by contract: a web-scale vocabulary is corpus-derived and
+    // unbounded, pinned under threshold=-1), and the per-doc re-agg.
+    // Same output contract and the IDENTICAL oracle SQL as
+    // llm_bpe_apply — the shared bpeMergeArray + bpeApplyOracleSql make
+    // divergence impossible, and hash-equality of the two rows is
+    // checked at all three gate SFs.
+    //
+    // A/B wall (TimeQuery, 3-run medians): sf0.1 map-only 1.20 s vs
+    // cached 0.83 s; 100× staged (500k docs) map-only 18.3 s vs cached
+    // 18.5 s — a wash on THIS fixture, whose 31-word vocabulary makes
+    // the per-word fold trivial on both paths, so the A/B prices the
+    // shuffle tax against the fold alone [MEASURED r20]. The production
+    // argument is structural, not fixture-local: fold work is
+    // per-OCCURRENCE in the map-only form and per-DISTINCT-WORD here, so
+    // at a real corpus's Zipf vocab/occurrence ratio (and a real ~50k
+    // merge table, 2500× this fixture's fold depth) the cached form's
+    // advantage scales with corpus size while its shuffle tax stays one
+    // exchange of (doc_id, word) pairs.
+    Q(
+      "llm_bpe_apply_cached",
+      (s, d) => {
+        val docWordCounts = Tables.documents(s, d)
+          .select(col("doc_id"),
+            // explode_outer keeps word-less docs (empty/whitespace/NULL
+            // text) as a NULL-word row so they reach the output with the
+            // coalesce-to-0 counts, like the map-only row's coalesce.
+            explode_outer(filter(split(lower(col("text")), " "),
+              t => t =!= "")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("n_occ"))
+        val wordToks = docWordCounts
+          .select(col("w")).where(col("w").isNotNull).distinct()
+          .crossJoin(broadcast(bpeMergeArray(s, d)))
+          .withColumn("enc", expr(
+            """concat(char(1), char(1),
+              |  array_join(transform(sequence(1, length(w)),
+              |      i -> substring(w, i, 1)),
+              |    concat(char(1), char(1))),
+              |  char(1), char(1))""".stripMargin))
+          .withColumn("folded", expr(
+            """aggregate(ml, enc, (acc, m) -> replace(acc,
+              |   concat(char(1), m.a, char(1), char(1), m.b, char(1)),
+              |   concat(char(1), m.a, m.b, char(1))))""".stripMargin))
+          // Symbols are characters (code points on both engines), so the
+          // per-word symbol count is just length(w); tokens read back off
+          // the folded separators exactly as the map-only row does.
+          .select(col("w"), length(col("w")).cast("long").as("w_sym"),
+            expr("""((length(folded) - length(replace(folded, char(1), '')))
+                   | div 2) - 1""".stripMargin).cast("long").as("w_tok"))
+        docWordCounts
+          .join(wordToks, Seq("w"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(sum(coalesce(col("n_occ") * col("w_sym"), lit(0L)))
+              .cast("long").as("n_sym_before"),
+            sum(coalesce(col("n_occ") * col("w_tok"), lit(0L)))
+              .cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_sym_before"), col("n_tokens"),
+            when(col("n_tokens") > 0,
+              col("n_sym_before").cast("double") / col("n_tokens"))
+              .as("chars_per_tok"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(bpeApplyOracleSql)),
 
     // H: deterministic train/valid/test split assignment (round 18) —
     // the last step of every curation pipeline before tokenization:
@@ -2621,4 +2608,107 @@ object TextQueries {
       |             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       |           / 1152921504606846976.0 < 0.95 THEN 'valid'
       |      ELSE 'test' END""".stripMargin
+
+  /** The trained-merge-table construction shared by the BPE apply pair
+    * (llm_bpe_apply / llm_bpe_apply_cached — single-sourced so the two
+    * rows cannot drift): word histogram -> adjacent-pair counts weighted
+    * by corpus frequency -> top-20 ranked merges collapsed to ONE array
+    * row in rank order (struct sort on (-cnt, a, b), the exact ORDER BY —
+    * collect_list alone is partition-order nondeterministic). The result
+    * is <= alphabet-squared rows collapsed to one row: broadcast BY
+    * CONSTRUCTION at any corpus size.
+    */
+  private def bpeMergeArray(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(filter(split(lower(col("text")), " "),
+        t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words
+      .select(col("n"), explode(expr(
+        """if(length(w) < 2, array(),
+          |   transform(sequence(1, length(w) - 1),
+          |     i -> struct(substring(w, i, 1) AS a,
+          |                 substring(w, i + 1, 1) AS b)))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(20)
+      .agg(transform(
+        sort_array(collect_list(struct((-col("cnt")).as("nc"),
+          col("a"), col("b")))),
+        m => struct(m.getField("a").as("a"), m.getField("b").as("b")))
+        .as("ml"))
+  }
+
+  /** The DuckDB oracle shared verbatim by the BPE apply pair: both rows
+    * declare the IDENTICAL output contract, so one oracle hash-pins both
+    * (and thereby pins the rows equal to each other at every gate SF).
+    */
+  private def bpeApplyOracleSql: String = """
+        WITH w AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) AS w
+            FROM documents) GROUP BY w),
+        p AS (
+          SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, n
+          FROM (
+            SELECT w.w AS w, w.n AS n,
+                   CAST(unnest(range(1, length(w.w))) AS INTEGER) AS i
+            FROM w)),
+        m AS (
+          SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+          FROM p GROUP BY a, b
+          ORDER BY cnt DESC, a, b
+          LIMIT 20),
+        -- merges encoded as 'pattern\2replacement' strings so the reduce
+        -- list stays VARCHAR-uniform with the prepended init word. The
+        -- coalesce guards the no-merges corpus (every word 1 char): list()
+        -- over zero rows is NULL in DuckDB where Spark's collect_list is
+        -- [], and a NULL merge list would NULL the whole fold — n_tokens
+        -- would read 0 against Spark's real symbol count (r19 ADVICE).
+        ml AS (
+          SELECT coalesce(list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
+                      || chr(2) || chr(1) || a || b || chr(1)
+                      ORDER BY cnt DESC, a, b), []) AS merges
+          FROM m),
+        enc AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split(lower(text), ' '),
+                     t -> t <> ''),
+                   w -> chr(1) || chr(1) ||
+                        array_to_string(list_transform(
+                            range(1, length(w) + 1), i -> substr(w, i, 1)),
+                          chr(1) || chr(1)) ||
+                        chr(1) || chr(1)) AS ws
+          FROM documents),
+        applied AS (
+          SELECT enc.doc_id,
+                 list_transform(enc.ws,
+                   s -> list_reduce(list_prepend(s, ml.merges),
+                          (acc, e) -> replace(acc, split_part(e, chr(2), 1),
+                                              split_part(e, chr(2), 2)))) AS es
+          FROM enc CROSS JOIN ml)
+        SELECT a.doc_id,
+               CAST(coalesce(list_sum(list_transform(e.ws,
+                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
+                 0) AS BIGINT) AS n_sym_before,
+               CAST(coalesce(list_sum(list_transform(a.es,
+                 s -> (length(s) - length(replace(s, chr(1), ''))) // 2 - 1)),
+                 0) AS BIGINT) AS n_tokens,
+               CASE WHEN coalesce(list_sum(list_transform(a.es,
+                      s -> (length(s) - length(replace(s, chr(1), ''))) // 2
+                           - 1)), 0) > 0
+                 THEN CAST(coalesce(list_sum(list_transform(e.ws,
+                        s -> (length(s) - length(replace(s, chr(1), '')))
+                             // 2 - 1)), 0) AS DOUBLE)
+                      / CAST(coalesce(list_sum(list_transform(a.es,
+                          s -> (length(s) - length(replace(s, chr(1), '')))
+                               // 2 - 1)), 0) AS DOUBLE)
+                 ELSE NULL END AS chars_per_tok
+        FROM applied a JOIN enc e USING (doc_id)
+        ORDER BY a.doc_id"""
+
 }

@@ -106,6 +106,12 @@ class CurationFuzzSpec extends GraftSpec {
     // dup-heavy sentences give the trained merges live application
     // targets so n_tokens < n_sym_before is genuinely exercised.
     "llm_bpe_apply",
+    // Vocab-cached BPE application (r20): the SAME output contract as
+    // llm_bpe_apply through a different plan (per-distinct-word fold +
+    // occurrence join-back) — the fuzz corpus's dup-heavy sentences make
+    // n_occ > 1 live, and the empty/whitespace docs take the
+    // explode_outer NULL-word row instead of the map-only coalesce.
+    "llm_bpe_apply_cached",
     // Percentile length trim (r18, second session): the fuzz corpus's
     // giant repetition doc and empty/whitespace docs are genuine length
     // tails, and its tiny per-lang groups force the interpolation's
@@ -302,7 +308,7 @@ class CurationFuzzSpec extends GraftSpec {
       (3L, "", "en", "src3"),        // empty doc → coalesce-to-0 branch
       (4L, "  ", "fr", "src0"))      // whitespace-only → same branch
     withCorpus("graft_bpe_1char", rows) { (dir, con) =>
-      for (name <- Seq("llm_bpe_apply")) {
+      for (name <- Seq("llm_bpe_apply", "llm_bpe_apply_cached")) {
         val q = SparkEntry.all.find(_.name == name).get
         val (sCols, sRows) = TestEnv.sparkRows(q.fn(spark, dir))
         val (dCols, dRows) = TestEnv.duckRows(con, q.oracle.get)

@@ -807,6 +807,24 @@ class PlanAuditSpec extends GraftSpec {
       s"no shuffle join belongs in BPE apply:\n${p.take(3000)}")
   }
 
+  test("llm_bpe_apply_cached: per-word fold, vocab join-back SHUFFLES") {
+    // The cached claim: the fold runs once per DISTINCT word (the word
+    // set attaches the ONE broadcast merge-array row exactly like the
+    // map-only row), and the per-word token counts come back to the
+    // (doc_id, word) occurrence table through a SHUFFLE join — a
+    // web-scale vocabulary is corpus-derived and unbounded, so under
+    // threshold=-1 broadcasting it would be the 100 TB anti-pattern.
+    // The only BroadcastExchange allowed is the merge array.
+    val p = planNoAutoBroadcast("llm_bpe_apply_cached")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"exactly the merge-array row may broadcast:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row merge array must attach as BNLJ:\n${p.take(3000)}")
+    assert("SortMergeJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined,
+      s"the vocab join-back must be a shuffled left-outer join:\n${p.take(3000)}")
+  }
+
   test("llm_pq_train: qv joins codes by SHUFFLE, only the codebook broadcasts") {
     // The M-step joins two CORPUS-bound sides (quantized vectors ⋈ code
     // assignments) on vec_id — the kmeans_update discipline: a broadcast
