@@ -52,6 +52,13 @@ object AggQueries {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // BASELINE.md shape mismatch (adjudicated r9, re-confirmed r19/r20):
+    // the baseline's `distinct_cnt` is ONE count(distinct); this row
+    // runs TWO over different keys plus the plain count — Spark plans the
+    // multi-distinct via Expand (3× the scan rows through the aggregate),
+    // so its wall is strictly-more-work and the 2×-gate ratio against
+    // that baseline row is not a weak-plan signal. Flat at 10×/100×
+    // probes; the bench-ratio history lives in SURVEY §6.
     Q(
       "agg_distinct",
       (s, d) => {

@@ -897,6 +897,13 @@ object LlmQueries {
     // Dot product is the native codegen expression (VectorOps.dot) — same
     // left-to-right IEEE accumulation as the aggregate(zip_with(...)) form
     // it replaced, ~100× less per-pair overhead (SURVEY §4.3 escalation).
+    //
+    // BASELINE.md shape mismatch (adjudicated r19, re-confirmed r20): the
+    // baseline's `emb_cosine_topk` scores a BOUNDED pair set; this row
+    // scores the FULL all-pairs product before the top-k heaps — strictly
+    // more work, so its 2×-gate ratio against that baseline row is not a
+    // weak-plan signal. Flat at 10×/100× probes (the row is a declared
+    // exact baseline; the scale path is the LSH/IVF family).
     Q(
       "llm_sim_cosine_topk",
       (s, d) => {
