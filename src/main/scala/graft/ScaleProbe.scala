@@ -279,7 +279,31 @@ object ScaleProbe {
     // corpus words (staged clones multiply occurrences, not the
     // vocabulary); the wall ratio checks the join-back stays
     // shuffle-linear where the map-only twin is fold-linear.
-    "llm_bpe_apply_cached")
+    "llm_bpe_apply_cached",
+    // round 20: gap-based sessionization — staging keeps the user domain
+    // fixed, so N× multiplies per-user density (each timestamp repeats N
+    // times with distinct event_ids); the one-exchange window plan must
+    // stay sort-linear per user and the session count per user is
+    // UNCHANGED (duplicate timestamps never open sessions), so output
+    // stays session-bound while input grows N×.
+    "win_session_batch",
+    // round 20: deterministic mode — the corpus stage is the map-side
+    // (nation, segment) partial count; staged copies add customers but
+    // not segments, so the post-agg window input is CONSTANT and the
+    // wall ratio should read scan-bound (near-flat at 100×).
+    "agg_mode",
+    // round 20: native explicit-values pivot — staging keeps the user
+    // domain and event_type alphabet fixed, so both aggregate states are
+    // CONSTANT-cardinality while the scan grows 100×; the wall ratio
+    // should read scan-bound (the map-side partial count is the only
+    // corpus-scale stage).
+    "fn_pivot",
+    // round 20: tokenizer fertility — staged clones multiply occurrences,
+    // not the vocabulary, so the (lang, word) histogram exchange is the
+    // only corpus-scale stage; the fold and both joins are vocab-bound
+    // and the output is |langs| rows — the wall ratio checks the
+    // histogram stays shuffle-linear.
+    "llm_tokenizer_fertility")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

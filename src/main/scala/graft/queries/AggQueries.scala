@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.Tables.dec
@@ -308,6 +309,51 @@ object AggQueries {
                  CAST(count(*) AS DOUBLE) AS nd
           FROM lineitem GROUP BY l_returnflag) t
         ORDER BY l_returnflag""")),
+
+    // D (round 20): DETERMINISTIC MODE — the most-frequent-value aggregate
+    // with an explicit tie-break (smallest segment wins), because both
+    // engines' native mode() are tie-nondeterministic and therefore
+    // un-hashable. The scale-correct form is the two-stage shape: a
+    // corpus-scale (nation, segment) count whose state is
+    // DISTINCT-VALUE-bound (map-side partial combine, never a per-group
+    // value collection), then a row_number pick over the aggregated table
+    // — at any corpus size the window input is |nations|×|segments| rows,
+    // so the pick stage is index-scale. mode_share prices the winner
+    // against the nation's total customer count via one whole-partition
+    // window sum on the same exchange, and its division is a single IEEE
+    // double op over two exact BIGINTs (identical on both engines).
+    Q(
+      "agg_mode",
+      (s, d) => {
+        val byNation = Window.partitionBy(col("c_nationkey"))
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_mode"))
+          .withColumn("n_cust", sum(col("n_mode")).over(byNation))
+          .withColumn("rn", row_number().over(
+            byNation.orderBy(col("n_mode").desc, col("c_mktsegment"))))
+          .where(col("rn") === 1)
+          .select(col("c_nationkey"),
+            col("c_mktsegment").as("mode_segment"),
+            col("n_mode"), col("n_cust"),
+            (col("n_mode").cast("double") / col("n_cust")).as("mode_share"))
+          .orderBy(col("c_nationkey"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n_mode
+          FROM customer
+          GROUP BY c_nationkey, c_mktsegment),
+        r AS (
+          SELECT c_nationkey, c_mktsegment, n_mode,
+                 CAST(sum(n_mode) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_cust,
+                 row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY n_mode DESC, c_mktsegment) AS rn
+          FROM c)
+        SELECT c_nationkey, c_mktsegment AS mode_segment, n_mode, n_cust,
+               CAST(n_mode AS DOUBLE) / n_cust AS mode_share
+        FROM r WHERE rn = 1
+        ORDER BY c_nationkey""")),
 
     // HLL++ sketch — engine-specific, never oracle-compared (SURVEY §5.2(5));
     // unit-tested against exact distinct within 5% relative error instead

@@ -357,5 +357,43 @@ object FnQueries {
                count(*) AS n
         FROM events
         GROUP BY event_type
-        ORDER BY event_type""")))
+        ORDER BY event_type""")),
+
+    // F (round 20): NATIVE PIVOT — Spark's RelationalGroupedDataset.pivot
+    // surface (llm_lang_pivot deliberately used conditional aggregation;
+    // this row declares the API itself) in its only scale-correct form:
+    // EXPLICIT pivot values. The one-argument pivot(col) overload runs a
+    // driver-side collect of the distinct values before planning — the
+    // no-collect rule bans it at any corpus size — while the explicit list
+    // compiles to the same distinct-value-bound conditional-agg plan as
+    // the hand-written row (one map-side-partial exchange, no pivot
+    // operator survives to the physical plan). Spark's pivot-count yields
+    // NULL for absent (group, value) combos where a FILTER count yields 0,
+    // so both engines coalesce explicitly (Spark via coalesce-to-0L, the
+    // oracle via FILTER count's native 0). The five listed values are the
+    // fixture's complete event_type domain; an unlisted type would drop
+    // from the pivot columns on BOTH sides identically (its rows still
+    // contribute the user's group row).
+    Q(
+      "fn_pivot",
+      (s, d) => {
+        val tiers = Seq("click", "view", "purchase", "error", "signup")
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type", tiers)
+          .agg(count(lit(1)))
+          .select(col("user_id") +: tiers.map(t =>
+            coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")))
 }

@@ -2439,25 +2439,8 @@ object TextQueries {
               t => t =!= "")).as("w"))
           .groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("n_occ"))
-        val wordToks = docWordCounts
-          .select(col("w")).where(col("w").isNotNull).distinct()
-          .crossJoin(broadcast(bpeMergeArray(s, d)))
-          .withColumn("enc", expr(
-            """concat(char(1), char(1),
-              |  array_join(transform(sequence(1, length(w)),
-              |      i -> substring(w, i, 1)),
-              |    concat(char(1), char(1))),
-              |  char(1), char(1))""".stripMargin))
-          .withColumn("folded", expr(
-            """aggregate(ml, enc, (acc, m) -> replace(acc,
-              |   concat(char(1), m.a, char(1), char(1), m.b, char(1)),
-              |   concat(char(1), m.a, m.b, char(1))))""".stripMargin))
-          // Symbols are characters (code points on both engines), so the
-          // per-word symbol count is just length(w); tokens read back off
-          // the folded separators exactly as the map-only row does.
-          .select(col("w"), length(col("w")).cast("long").as("w_sym"),
-            expr("""((length(folded) - length(replace(folded, char(1), '')))
-                   | div 2) - 1""".stripMargin).cast("long").as("w_tok"))
+        val wordToks = bpeWordTokens(s, d,
+          docWordCounts.select(col("w")).where(col("w").isNotNull).distinct())
         docWordCounts
           .join(wordToks, Seq("w"), "left_outer")
           .groupBy(col("doc_id"))
@@ -2472,6 +2455,97 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       oracle = Some(bpeApplyOracleSql)),
+
+    // H (round 20): TOKENIZER FERTILITY BY LANGUAGE — the multilingual
+    // training-mix diagnostic (tokens emitted per whitespace word, and
+    // chars per token) computed against the trained BPE merge table: a
+    // language the tokenizer fragments (high fertility) costs
+    // proportionally more sequence length per word of text, which is what
+    // data-mixing weights correct for. Composes the shared bpeWordTokens
+    // fold (llm_bpe_apply_cached's vocab-cached stage — single-sourced so
+    // the rows cannot drift) with a per-(lang, word) occurrence histogram
+    // and a per-lang doc count.
+    //
+    // Scale shape: the (lang, word) histogram is ONE corpus exchange with
+    // map-side partial agg (output vocab×lang-bound); the fold runs once
+    // per DISTINCT word against the broadcast 1-row merge array; the
+    // occ ⋈ word-tokens join is vocab-bound on BOTH sides and SHUFFLES by
+    // contract (a web-scale vocabulary is corpus-derived — the
+    // llm_bpe_apply_cached discipline, pinned under threshold=-1); the
+    // doc-count side is a second corpus scan reduced to |langs| rows.
+    // Output is |langs| rows — answer-bound. The lang join is null-safe
+    // (<=> / IS NOT DISTINCT FROM) so a NULL-lang stratum survives both
+    // engines identically.
+    Q(
+      "llm_tokenizer_fertility",
+      (s, d) => {
+        val occ = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "),
+              t => t =!= "")).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("n_occ"))
+        val toks = bpeWordTokens(s, d, occ.select(col("w")).distinct())
+        val wordAgg = occ.join(toks, Seq("w"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_occ")).cast("long").as("n_words"),
+            sum(col("n_occ") * col("w_sym")).cast("long").as("n_sym"),
+            sum(col("n_occ") * col("w_tok")).cast("long").as("n_tokens"))
+        val docAgg = Tables.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val nw = coalesce(col("n_words"), lit(0L))
+        val ns = coalesce(col("n_sym"), lit(0L))
+        val nt = coalesce(col("n_tokens"), lit(0L))
+        docAgg.join(wordAgg, docAgg("lang") <=> wordAgg("lang"), "left_outer")
+          .select(docAgg("lang"), col("n_docs"),
+            nw.as("n_words"), ns.as("n_sym"), nt.as("n_tokens"),
+            when(nw > 0, nt.cast("double") / nw).as("fertility"),
+            when(nt > 0, ns.cast("double") / nt).as("chars_per_tok"))
+          .orderBy(docAgg("lang"))
+      },
+      oracle = Some(s"""
+        WITH $bpeMergeCtes,
+        occ AS (
+          SELECT lang, w, count(*) AS n_occ FROM (
+            SELECT lang,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')) AS w
+            FROM documents)
+          GROUP BY lang, w),
+        dw AS (SELECT DISTINCT w FROM occ),
+        wt AS (
+          SELECT w, CAST(length(w) AS BIGINT) AS w_sym,
+                 CAST((length(folded) - length(replace(folded, chr(1), '')))
+                      // 2 - 1 AS BIGINT) AS w_tok
+          FROM (
+            SELECT dw.w,
+                   list_reduce(list_prepend(
+                       chr(1) || chr(1) || array_to_string(list_transform(
+                           range(1, length(dw.w) + 1), i -> substr(dw.w, i, 1)),
+                         chr(1) || chr(1)) || chr(1) || chr(1),
+                       ml.merges),
+                     (acc, e) -> replace(acc, split_part(e, chr(2), 1),
+                                         split_part(e, chr(2), 2))) AS folded
+            FROM dw CROSS JOIN ml)),
+        wa AS (
+          SELECT lang,
+                 CAST(sum(n_occ) AS BIGINT) AS n_words,
+                 CAST(sum(n_occ * w_sym) AS BIGINT) AS n_sym,
+                 CAST(sum(n_occ * w_tok) AS BIGINT) AS n_tokens
+          FROM occ JOIN wt USING (w) GROUP BY lang),
+        da AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT da.lang, da.n_docs,
+               coalesce(wa.n_words, 0) AS n_words,
+               coalesce(wa.n_sym, 0) AS n_sym,
+               coalesce(wa.n_tokens, 0) AS n_tokens,
+               CASE WHEN coalesce(wa.n_words, 0) > 0
+                    THEN CAST(coalesce(wa.n_tokens, 0) AS DOUBLE)
+                         / coalesce(wa.n_words, 0) END AS fertility,
+               CASE WHEN coalesce(wa.n_tokens, 0) > 0
+                    THEN CAST(coalesce(wa.n_sym, 0) AS DOUBLE)
+                         / coalesce(wa.n_tokens, 0) END AS chars_per_tok
+        FROM da LEFT JOIN wa ON da.lang IS NOT DISTINCT FROM wa.lang
+        ORDER BY da.lang NULLS FIRST""")),
 
     // H: deterministic train/valid/test split assignment (round 18) —
     // the last step of every curation pipeline before tokenization:
@@ -2609,6 +2683,37 @@ object TextQueries {
       |           / 1152921504606846976.0 < 0.95 THEN 'valid'
       |      ELSE 'test' END""".stripMargin
 
+  /** Per-DISTINCT-word BPE token counts — the vocab-bound fold stage shared
+    * by llm_bpe_apply_cached and llm_tokenizer_fertility (single-sourced so
+    * the two rows cannot drift): each distinct word is separator-encoded,
+    * folded through the broadcast rank-ordered merge array (the map-only
+    * row's exact greedy-pass semantics), and read back as (symbol count,
+    * token count). Symbols are characters (code points on both engines), so
+    * the per-word symbol count is just length(w); tokens read back off the
+    * folded separators exactly as the map-only row does. Input and output
+    * are VOCABULARY-bound; the only broadcast is the 1-row merge array.
+    */
+  private def bpeWordTokens(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      distinctWords: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    distinctWords
+      .crossJoin(broadcast(bpeMergeArray(s, d)))
+      .withColumn("enc", expr(
+        """concat(char(1), char(1),
+          |  array_join(transform(sequence(1, length(w)),
+          |      i -> substring(w, i, 1)),
+          |    concat(char(1), char(1))),
+          |  char(1), char(1))""".stripMargin))
+      .withColumn("folded", expr(
+        """aggregate(ml, enc, (acc, m) -> replace(acc,
+          |   concat(char(1), m.a, char(1), char(1), m.b, char(1)),
+          |   concat(char(1), m.a, m.b, char(1))))""".stripMargin))
+      .select(col("w"), length(col("w")).cast("long").as("w_sym"),
+        expr("""((length(folded) - length(replace(folded, char(1), '')))
+               | div 2) - 1""".stripMargin).cast("long").as("w_tok"))
+  }
+
   /** The trained-merge-table construction shared by the BPE apply pair
     * (llm_bpe_apply / llm_bpe_apply_cached — single-sourced so the two
     * rows cannot drift): word histogram -> adjacent-pair counts weighted
@@ -2646,8 +2751,19 @@ object TextQueries {
     * declare the IDENTICAL output contract, so one oracle hash-pins both
     * (and thereby pins the rows equal to each other at every gate SF).
     */
-  private def bpeApplyOracleSql: String = """
-        WITH w AS (
+  /** The trained-merge-table CTE prefix (w → p → m → ml) shared by the BPE
+    * apply oracle and the tokenizer-fertility oracle — the DuckDB spelling
+    * of [[bpeMergeArray]], single-sourced for the same no-drift reason.
+    *
+    * Merges are encoded as 'pattern\2replacement' strings so the reduce
+    * list stays VARCHAR-uniform with the prepended init word. The coalesce
+    * guards the no-merges corpus (every word 1 char): list() over zero rows
+    * is NULL in DuckDB where Spark's collect_list is [], and a NULL merge
+    * list would NULL the whole fold — n_tokens would read 0 against
+    * Spark's real symbol count (r19 ADVICE).
+    */
+  private def bpeMergeCtes: String = """
+        w AS (
           SELECT w, count(*) AS n FROM (
             SELECT unnest(list_filter(string_split(lower(text), ' '),
                      t -> t <> '')) AS w
@@ -2663,17 +2779,14 @@ object TextQueries {
           FROM p GROUP BY a, b
           ORDER BY cnt DESC, a, b
           LIMIT 20),
-        -- merges encoded as 'pattern\2replacement' strings so the reduce
-        -- list stays VARCHAR-uniform with the prepended init word. The
-        -- coalesce guards the no-merges corpus (every word 1 char): list()
-        -- over zero rows is NULL in DuckDB where Spark's collect_list is
-        -- [], and a NULL merge list would NULL the whole fold — n_tokens
-        -- would read 0 against Spark's real symbol count (r19 ADVICE).
         ml AS (
           SELECT coalesce(list(chr(1) || a || chr(1) || chr(1) || b || chr(1)
                       || chr(2) || chr(1) || a || b || chr(1)
                       ORDER BY cnt DESC, a, b), []) AS merges
-          FROM m),
+          FROM m)"""
+
+  private def bpeApplyOracleSql: String = s"""
+        WITH $bpeMergeCtes,
         enc AS (
           SELECT doc_id,
                  list_transform(list_filter(string_split(lower(text), ' '),

@@ -207,5 +207,73 @@ object WindowQueries {
         FROM (
           SELECT o_orderdate AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
           FROM orders GROUP BY o_orderdate) t
-        ORDER BY day""")))
+        ORDER BY day""")),
+
+    // E (round 20): GAP-BASED SESSIONIZATION — the classic clickstream
+    // operator the fixed tumbling/sliding rows cannot express: a session
+    // is a maximal run of a user's events where consecutive gaps stay
+    // within the threshold (12 h here — between this fixture's per-user
+    // median gap ~7.7 h and its p90 ~24 h, so both session-continuing and
+    // session-breaking gaps are live at every SF). The lag-flag/cumsum
+    // composition is the standard batch form: is_new = (gap > threshold),
+    // session_id = 1 + running sum of is_new — the first event's NULL lag
+    // compares NULL and lands in the ELSE-0 branch on both engines.
+    //
+    // Everything is µs-BIGINT arithmetic (unix_micros / epoch_us on the
+    // normalized µs timestamp) so every output column is hash-exact; the
+    // ordering key ends in event_id (R1 determinism — equal timestamps
+    // within a user cannot reorder the lag).
+    //
+    // Scale shape: ONE corpus exchange total. Both window passes and the
+    // per-session aggregate run on hashpartitioning(user_id) — the lag
+    // and cumsum windows share one sort, and the (user_id, session_id)
+    // groupBy is subset-satisfied by the window's user_id partitioning,
+    // so no second exchange (pinned); output is session-bound, not
+    // event-bound. Parallelism is the user domain, the same contract the
+    // stream_* rows shuffle state by.
+    Q(
+      "win_session_batch",
+      (s, d) => {
+        val gapUs = 43200000000L // 12 h in µs
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("ts_us"))
+          .withColumn("is_new",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) > gapUs,
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("session_id",
+            sum(col("is_new")).over(byTime.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)) + lit(1L))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            max(col("ts_us")).as("end_us"))
+          .withColumn("duration_us", col("end_us") - col("start_us"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, ts_us,
+                 CASE WHEN ts_us - lag(ts_us) OVER w > 43200000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id, ts_us,
+                 CAST(1 + sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
+          FROM f)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")))
 }

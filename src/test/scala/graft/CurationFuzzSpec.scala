@@ -112,6 +112,14 @@ class CurationFuzzSpec extends GraftSpec {
     // n_occ > 1 live, and the empty/whitespace docs take the
     // explode_outer NULL-word row instead of the map-only coalesce.
     "llm_bpe_apply_cached",
+    // Tokenizer fertility (r20): the shared per-distinct-word fold grouped
+    // by language — the fuzz corpus's unicode tokens make multibyte
+    // symbol counting load-bearing on the per-LANG sums, empty/whitespace
+    // docs exercise the zero-word language stratum (coalesce-to-0 +
+    // NULL-fertility branch) through the null-safe lang join, and the
+    // dup-heavy sentences make n_occ > 1 weighting observable in the
+    // per-lang token totals.
+    "llm_tokenizer_fertility",
     // Percentile length trim (r18, second session): the fuzz corpus's
     // giant repetition doc and empty/whitespace docs are genuine length
     // tails, and its tiny per-lang groups force the interpolation's

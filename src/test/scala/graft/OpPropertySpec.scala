@@ -392,4 +392,64 @@ class OpPropertySpec extends GraftSpec {
     assert(minPs(9L) == minPs.values.min,
       s"the unique-transition doc must carry the corpus-min min_p: $minPs")
   }
+
+  test("win_session_batch: sessions partition events; an independent fold agrees exactly") {
+    // Two properties against the declared query at sf0.001: (a) sessions
+    // PARTITION each user's events (per-user Σ n_events == per-user event
+    // count, session ids are 1..k dense), and (b) a straight Scala fold
+    // over the (ts, event_id)-sorted per-user stream — an independent
+    // third implementation next to Spark's window plan and DuckDB's —
+    // reproduces every (session_id, n_events, start, end) tuple exactly.
+    val dir = TestEnv.Sf001
+    val gapUs = 43200000000L
+    val out = SparkEntry.queries("win_session_batch")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    out.groupBy(_._1).foreach { case (u, sessions) =>
+      assert(sessions.map(_._3).sum == byUser(u).size,
+        s"user $u: sessions must partition the events")
+      assert(sessions.map(_._2).sorted.toSeq == (1L to sessions.size).toSeq,
+        s"user $u: session ids must be dense from 1")
+    }
+    val expected = byUser.flatMap { case (u, rows) =>
+      val sorted = rows.map(t => (t._3, t._2)).sortBy(identity)
+      val splits = sorted.foldLeft(Vector.empty[Vector[Long]]) {
+        case (acc, (ts, _)) =>
+          if (acc.nonEmpty && ts - acc.last.last <= gapUs)
+            acc.init :+ (acc.last :+ ts)
+          else acc :+ Vector(ts)
+      }
+      splits.zipWithIndex.map { case (s0, i) =>
+        (u, i + 1L, s0.size.toLong, s0.head, s0.last, s0.last - s0.head)
+      }
+    }.toSet
+    assert(out.toSet == expected,
+      s"window sessionization must equal the per-user fold (|out|=${out.length}, |exp|=${expected.size})")
+  }
+
+  test("agg_mode: winner maximizes the segment count, ties break to the smallest segment") {
+    val dir = TestEnv.Sf001
+    val out = SparkEntry.queries("agg_mode")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val counts = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val byNation = counts.groupBy(_._1._1)
+    assert(out.map(_._1).toSeq == byNation.keys.toSeq.sorted,
+      "one row per nation, ordered")
+    out.foreach { case (nk, seg, nMode, nCust, share) =>
+      val segs = byNation(nk).map { case ((_, s0), n) => (s0, n) }
+      val best = segs.toSeq.sortBy { case (s0, n) => (-n, s0) }.head
+      assert((seg, nMode) == best,
+        s"nation $nk: mode must be the tie-broken argmax, got ($seg,$nMode) want $best")
+      assert(nCust == segs.values.sum && share == nMode.toDouble / nCust,
+        s"nation $nk: share must be n_mode/n_cust over the nation total")
+    }
+  }
 }

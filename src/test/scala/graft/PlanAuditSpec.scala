@@ -931,4 +931,85 @@ class PlanAuditSpec extends GraftSpec {
         "ShuffledHashJoin [^\\n]*FullOuter".r.findFirstIn(p).isDefined),
       s"expected a shuffled FullOuter join:\n${p.take(3000)}")
   }
+
+  test("win_session_batch: ONE corpus exchange — windows and session agg share it") {
+    // The sessionization contract: the lag window, the cumsum window, and
+    // the (user_id, session_id) aggregate all run on the single
+    // hashpartitioning(user_id) exchange — the windows share one sort, and
+    // the groupBy's clustering requirement is subset-satisfied by the
+    // window's user_id partitioning, so no second hash exchange may appear
+    // (the only other Exchange is the oracle-ordering range partition).
+    // Event-time work is µs-BIGINT, so the scan reads exactly the three
+    // columns the session needs.
+    val p = plan("win_session_batch")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"lag window, cumsum window and session agg must share ONE hash exchange:\n${p.take(3000)}")
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected exactly the lag and cumsum windows:\n${p.take(3000)}")
+    assert(p.contains("partial_count"),
+      s"the session aggregate must combine map-side (partial agg):\n${p.take(3000)}")
+    assert("ReadSchema: struct<event_id:bigint,ts:[^,>]*,user_id:bigint>".r
+      .findFirstIn(p).isDefined,
+      s"the events scan must prune to (event_id, ts, user_id):\n${p.take(3000)}")
+  }
+
+  test("agg_mode: distinct-value-bound count, WindowGroupLimit pick, no collection") {
+    // The deterministic-mode contract: the corpus stage is a map-side
+    // partial (nation, segment) count — DISTINCT-VALUE-bound state, never
+    // a per-group value collection (no collect_list/collect_set anywhere)
+    // — and the rn=1 pick over the aggregated table plans as a
+    // WindowGroupLimit heap, the top-k shape, not a full sort-and-filter.
+    val p = plan("agg_mode")
+    assert(p.contains("partial_count"),
+      s"the (nation, segment) count must combine map-side:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn=1 pick must plan as a WindowGroupLimit heap:\n${p.take(3000)}")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      s"mode must never collect group values:\n${p.take(3000)}")
+    assert("ReadSchema: struct<c_nationkey:int,c_mktsegment:string>".r
+      .findFirstIn(p).isDefined,
+      s"the customer scan must prune to (nationkey, mktsegment):\n${p.take(3000)}")
+  }
+
+  test("fn_pivot: explicit-values pivot compiles to distinct-value-bound aggs") {
+    // The native-pivot contract: with EXPLICIT pivot values (the only
+    // scale-correct overload — pivot(col) alone collects the distinct
+    // values at the driver before planning) the pivot disappears at
+    // analysis into a two-level aggregate: a map-side-partial
+    // (user, event_type) count, then a pivotfirst agg keyed on user —
+    // both states distinct-value-bound, no per-group collection, and the
+    // scan pruned to the two columns the pivot touches.
+    val p = plan("fn_pivot")
+    assert(p.contains("partial_count"),
+      s"the (user, type) count must combine map-side:\n${p.take(3000)}")
+    assert(p.contains("pivotfirst"),
+      s"the explicit-values pivot must compile to pivotfirst aggs:\n${p.take(3000)}")
+    assert(!p.contains("collect_list") && !p.contains("collect_set"),
+      s"pivot must never collect group values:\n${p.take(3000)}")
+    assert("ReadSchema: struct<user_id:bigint,event_type:string>".r
+      .findFirstIn(p).isDefined,
+      s"the events scan must prune to (user_id, event_type):\n${p.take(3000)}")
+  }
+
+  test("llm_tokenizer_fertility: vocab sides shuffle, only the merge array broadcasts") {
+    // The fertility contract inherits llm_bpe_apply_cached's discipline:
+    // the per-distinct-word fold attaches the ONE broadcast merge-array
+    // row (BNLJ of a 1-row side), the occ ⋈ word-tokens join and the
+    // null-safe lang join-back both SHUFFLE (vocabulary and language
+    // strata are corpus-derived — broadcasting either is the 100 TB
+    // anti-pattern), and every aggregate combines map-side.
+    val p = planNoAutoBroadcast("llm_tokenizer_fertility")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"exactly the merge-array row may broadcast:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row merge array must attach as BNLJ:\n${p.take(3000)}")
+    assert("SortMergeJoin \\[w#\\d+\\], \\[w#\\d+\\], Inner".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin \\[w#\\d+\\], \\[w#\\d+\\], Inner".r.findFirstIn(p).isDefined,
+      s"the occ ⋈ word-tokens join must shuffle on w:\n${p.take(3000)}")
+    assert("SortMergeJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin [^\\n]*LeftOuter".r.findFirstIn(p).isDefined,
+      s"the lang join-back must be a shuffled left-outer join:\n${p.take(3000)}")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"the histogram and lang aggregates must combine map-side:\n${p.take(3000)}")
+  }
 }
