@@ -303,7 +303,13 @@ object ScaleProbe {
     // only corpus-scale stage; the fold and both joins are vocab-bound
     // and the output is |langs| rows — the wall ratio checks the
     // histogram stays shuffle-linear.
-    "llm_tokenizer_fertility")
+    "llm_tokenizer_fertility",
+    // round 20: quantized PageRank — each of the 4 damped rounds is one
+    // edges join + per-destination sum + node join-back, all linear in
+    // the key-derived edge set (<=3 out-edges per doc, so edges grow
+    // with the corpus); the wall ratio checks the iterative fixpoint
+    // stays shuffle-linear per round with nothing broadcast.
+    "llm_pagerank")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -2617,7 +2617,100 @@ object TextQueries {
         SELECT t.doc_id, t.split, tr.leak_src, tr.n_train
         FROM t JOIN tr USING (key)
         WHERE t.split <> 'train'
-        ORDER BY t.doc_id""")))
+        ORDER BY t.doc_id""")),
+
+    // H: link-analysis quality signal — PageRank over a key-derived
+    // citation DAG (doc i cites i div 2 / i div 3 / i div 5: acyclic by
+    // construction since every target key is smaller, out-degree <= 3,
+    // in-degree <= 10). Web-crawl curation uses exactly this score as a
+    // document-quality prior; the interesting part is making an ITERATIVE
+    // fixpoint hash-verifiable: all arithmetic stays in BIGINT micro-units
+    // (init 1.000000, damping 0.85 as 150000 + (85*inc) div 100, per-edge
+    // contribution score div deg) — integer division and BIGINT sums are
+    // shuffle-order-free where double folds are not, the llm_pq_train
+    // discipline applied to link analysis. Four unrolled iterations, each
+    // one corpus-LINEAR edges join + per-destination sum + node join-back;
+    // NOTHING broadcasts (scores and edges are both corpus-scale by
+    // contract — pinned under threshold=-1), so the plan is K sequential
+    // shuffle rounds: the Pregel communication pattern written
+    // declaratively, which is how a 1000-executor run wants it (each round
+    // repartitions by the same key; AQE coalesces the tails). Dangling
+    // nodes (0 and 1) simply leak their mass — the standard simplification,
+    // identical in both engines.
+    Q(
+      "llm_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
+        val edges = docs.filter(col("node") >= 2)
+          .select(col("node").as("src"),
+            explode(array_distinct(filter(
+              array(expr("node div 2"), expr("node div 3"),
+                expr("node div 5")),
+              t => t >= 1L))).as("dst"))
+        // persist(): consumed once per damped round — without it every
+        // round re-scans the corpus and re-pays the degree shuffle
+        // (reclaimed per-query by Cleanup.release, the harness contract).
+        val edgesDeg = edges
+          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+          .select(col("src"), col("dst"), col("deg"))
+          .persist()
+        val init = docs.select(col("node"), lit(1000000L).as("score"))
+        val fin = (1 to 4).foldLeft(init) { (cur, _) =>
+          val inc = cur.select(col("node").as("p"), col("score"))
+            .join(edgesDeg, col("p") === col("src"))
+            .select(col("dst").as("node"), expr("score div deg").as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("inc"))
+          docs.join(inc, Seq("node"), "left_outer")
+            .select(col("node"),
+              expr("150000L + ((85L * coalesce(inc, 0L)) div 100)")
+                .as("score"))
+        }
+        fin.select(col("node"), col("score").as("score_q"))
+          .orderBy(col("node"))
+      },
+      oracle = Some("""
+        WITH docs AS (SELECT doc_id AS node FROM documents),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT node AS src,
+                   unnest([node // 2, node // 3, node // 5]) AS dst
+            FROM docs WHERE node >= 2)
+          WHERE dst >= 1),
+        ed AS (
+          SELECT e.src, e.dst, d.deg
+          FROM edges e
+          JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+            USING (src)),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM docs),
+        it1 AS (
+          SELECT n.node, CAST(150000 + (85 * coalesce(c.inc, 0)) // 100
+                              AS BIGINT) AS score
+          FROM docs n LEFT JOIN (
+            SELECT ed.dst AS node, sum(p.score // ed.deg) AS inc
+            FROM it0 p JOIN ed ON ed.src = p.node GROUP BY ed.dst) c
+            USING (node)),
+        it2 AS (
+          SELECT n.node, CAST(150000 + (85 * coalesce(c.inc, 0)) // 100
+                              AS BIGINT) AS score
+          FROM docs n LEFT JOIN (
+            SELECT ed.dst AS node, sum(p.score // ed.deg) AS inc
+            FROM it1 p JOIN ed ON ed.src = p.node GROUP BY ed.dst) c
+            USING (node)),
+        it3 AS (
+          SELECT n.node, CAST(150000 + (85 * coalesce(c.inc, 0)) // 100
+                              AS BIGINT) AS score
+          FROM docs n LEFT JOIN (
+            SELECT ed.dst AS node, sum(p.score // ed.deg) AS inc
+            FROM it2 p JOIN ed ON ed.src = p.node GROUP BY ed.dst) c
+            USING (node)),
+        it4 AS (
+          SELECT n.node, CAST(150000 + (85 * coalesce(c.inc, 0)) // 100
+                              AS BIGINT) AS score
+          FROM docs n LEFT JOIN (
+            SELECT ed.dst AS node, sum(p.score // ed.deg) AS inc
+            FROM it3 p JOIN ed ON ed.src = p.node GROUP BY ed.dst) c
+            USING (node))
+        SELECT node, score AS score_q FROM it4 ORDER BY node""")))
 
   /** llm_split_assign's deterministic 90/5/5 split — the salted-md5
     * uniform key mapped through the fixed thresholds, factored out

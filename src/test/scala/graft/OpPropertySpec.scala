@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import scala.util.Random
 
 import org.apache.spark.sql.catalyst.expressions.Literal
@@ -451,5 +453,70 @@ class OpPropertySpec extends GraftSpec {
       assert(nCust == segs.values.sum && share == nMode.toDouble / nCust,
         s"nation $nk: share must be n_mode/n_cust over the nation total")
     }
+  }
+
+  test("llm_pagerank: an independent integer fixpoint reproduces every score") {
+    // A straight Scala reimplementation of the quantized 4-round PageRank
+    // (same key-derived DAG, same micro-unit integer arithmetic) — an
+    // independent third implementation next to Spark's shuffle rounds and
+    // DuckDB's unrolled CTEs — must reproduce every (node, score_q) pair
+    // exactly. Truncating integer division matches both engines' div/`//`
+    // on the non-negative domain, so there is no rounding slack to hide in.
+    val dir = TestEnv.Sf001
+    val out = SparkEntry.queries("llm_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val edges = nodes.filter(_ >= 2).flatMap(s0 =>
+      Seq(s0 / 2, s0 / 3, s0 / 5).filter(_ >= 1).distinct.map(d0 => (s0, d0)))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var score = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s0, _) => score(s0) / deg(s0) }.sum
+      }
+      score = nodes.map(n => n -> (150000L + 85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(out.map(_._1).toSeq == nodes, "one row per doc, ordered by node")
+    assert(out.toMap == score,
+      s"Spark scores must equal the independent fixpoint; first diff: ${
+        out.find(p => score(p._1) != p._2)}")
+  }
+
+  test("llm_pagerank fuzz: sparse non-contiguous keys agree with the fixpoint") {
+    // The fixture's doc_ids are DENSE 0..N-1, so the fixture never
+    // exercises the row's real key domain: a citation target (i div k)
+    // that is NOT itself a document. Seeded sparse keys (gaps, a large
+    // outlier, 0 and 1 dangling, collision chains through the div lattice)
+    // make edges point at absent nodes — those contributions must vanish
+    // in the per-node join-back (docs LEFT JOIN inc keeps only real docs)
+    // and the independent fold must still agree exactly.
+    val rnd = new scala.util.Random(20260816L)
+    val keys = (Seq(0L, 1L, 2L, 5L, 6L, 30L, 900001L) ++
+      Seq.fill(60)(rnd.nextInt(5000).toLong)).distinct.sorted
+    val dir = Files.createTempDirectory("graft_pgfuzz").toString
+    spark.createDataFrame(keys.map(k => (k, s"doc $k", "en", "fuzz")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodeSet = keys.toSet
+    val edges = keys.filter(_ >= 2).flatMap(s0 =>
+      Seq(s0 / 2, s0 / 3, s0 / 5).filter(_ >= 1).distinct.map(d0 => (s0, d0)))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var score = keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s0, _) => score(s0) / deg(s0) }.sum
+      }
+      // contributions to absent nodes vanish; absent sources never score
+      score = keys.map(n => n -> (150000L + 85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(out.map(_._1).toSeq == keys, "one row per doc, ordered by node")
+    assert(out.toMap == score.filter(kv => nodeSet(kv._1)),
+      s"sparse-key scores must equal the fixpoint; first diff: ${
+        out.find(p => score(p._1) != p._2)}")
   }
 }

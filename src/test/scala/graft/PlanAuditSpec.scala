@@ -1012,4 +1012,25 @@ class PlanAuditSpec extends GraftSpec {
     assert(p.contains("partial_sum") && p.contains("partial_count"),
       s"the histogram and lang aggregates must combine map-side:\n${p.take(3000)}")
   }
+
+  test("llm_pagerank: pure shuffle rounds — scores and edges never broadcast") {
+    // Every join side in the fixpoint (scores, edges, degree counts) is
+    // corpus-scale by contract: broadcasting any of them ships the graph
+    // to every executor and caps it at driver memory. Under threshold=-1
+    // the plan must be pure shuffle rounds — zero BroadcastExchange, a
+    // shuffled contribution join per round, exactly four shuffled
+    // left-outer per-node join-backs (one per damped iteration), and no
+    // nested-loop shape anywhere.
+    val p = planNoAutoBroadcast("llm_pagerank")
+    assert(!p.contains("BroadcastExchange"),
+      s"nothing in the fixpoint may broadcast:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the contribution joins must shuffle:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop shape belongs in the fixpoint:\n${p.take(3000)}")
+    assert("(SortMergeJoin|ShuffledHashJoin) [^\\n]*LeftOuter".r
+      .findAllIn(p).size == 4,
+      s"four damped rounds = four per-node join-backs:\n${p.take(4000)}")
+  }
 }
