@@ -309,7 +309,12 @@ object ScaleProbe {
     // the key-derived edge set (<=3 out-edges per doc, so edges grow
     // with the corpus); the wall ratio checks the iterative fixpoint
     // stays shuffle-linear per round with nothing broadcast.
-    "llm_pagerank")
+    "llm_pagerank",
+    // round 20: RRF fusion — ONE persisted corpus scoring pass feeds two
+    // TakeOrderedAndProject top-K heaps; ranks and the fusion join are
+    // K=100-bound regardless of corpus size, so the wall ratio checks
+    // the row stays scan-bound (the heaps never become a global sort).
+    "llm_hybrid_rrf")
 
   /** Focused re-runs (the Bench SPARK_GRAFT_ONLY idiom): restrict the
     * probe to a comma-separated subset — new rows get their 10× entry

@@ -2710,7 +2710,140 @@ object TextQueries {
             SELECT ed.dst AS node, sum(p.score // ed.deg) AS inc
             FROM it3 p JOIN ed ON ed.src = p.node GROUP BY ed.dst) c
             USING (node))
-        SELECT node, score AS score_q FROM it4 ORDER BY node""")))
+        SELECT node, score AS score_q FROM it4 ORDER BY node""")),
+
+    // H: hybrid-retrieval fusion — reciprocal-rank fusion (RRF, the
+    // Cormack/Clarke/Buettcher method every production hybrid-search
+    // stack ships) of two rankers over the SAME 3-term query: BM25
+    // (llm_bm25_search's exact scoring form, same rational idf) and
+    // plain tf·idf (no length normalization — a genuinely different
+    // ordering, so the fusion is non-trivial). The production scale
+    // shape is the declared shape: each ranker contributes only its
+    // TOP-K=100 list (TakeOrderedAndProject heap — never a global
+    // sort), ranks are assigned WITHIN those answer-bound lists, and
+    // fusion is a K-row full-outer join. Hash-verifiability: ranks are
+    // tie-broken integers (score desc, doc_id), and the RRF sum is
+    // quantized — contribution = 1e12 div (60 + rank) in BIGINT, so the
+    // fused score is exact integer arithmetic, not a float sum of
+    // 1/(60+r) terms. Both per-doc score columns come from ONE corpus
+    // pass (scored persists for its two ranker consumers); the corpus
+    // stats row is the only corpus-derived broadcast (1 row by
+    // construction, the llm_bm25_search contract).
+    Q(
+      "llm_hybrid_rrf",
+      (s, d) => {
+        val terms = Seq("dup", "vector", "batch")
+        // NULL text folds to '' — the llm_bm25_search discipline: a NULL
+        // doc entering Σdl would shift avgdl and hash-poison every score.
+        val toks = toksAll(coalesce(col("text"), lit("")))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id") +: size(toks).cast("bigint").as("dl") +:
+            terms.zipWithIndex.map { case (w, i) =>
+              size(filter(toks, x => x === w)).cast("bigint").as(s"tf$i")
+            }: _*)
+        val aggs = sum(col("dl")).as("sumdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = t.agg(count(lit(1)).as("n"), aggs: _*)
+        val nD = col("n").cast("double")
+        val avgdl = col("sumdl").cast("double") / nD
+        def bm(i: Int): Column = {
+          val tf = col(s"tf$i").cast("double")
+          val df = col(s"df$i").cast("double")
+          val idf = (nD - df + lit(0.5)) / (df + lit(0.5))
+          idf * (tf * lit(2.2)) / (tf + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+        }
+        def ti(i: Int): Column = {
+          val tf = col(s"tf$i").cast("double")
+          val df = col(s"df$i").cast("double")
+          when(col(s"df$i") > 0, tf * (nD / df)).otherwise(lit(0.0))
+        }
+        val scored = t.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (bm(0) + bm(1) + bm(2)).as("s_bm"),
+            (ti(0) + ti(1) + ti(2)).as("s_ti"))
+          .persist() // two ranker consumers — one corpus pass, not two
+        def ranked(scoreCol: String, rankName: String) =
+          scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(100)
+            .withColumn(rankName, row_number().over(
+              Window.orderBy(col(scoreCol).desc, col("doc_id")))
+              .cast("long"))
+            .select(col("doc_id"), col(rankName))
+        val b = ranked("s_bm", "bm25_rank")
+        val ti2 = ranked("s_ti", "tfidf_rank")
+        b.join(ti2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("bm25_rank"), col("tfidf_rank"),
+            (coalesce(expr("1000000000000L div (60L + bm25_rank)"), lit(0L))
+              + coalesce(expr("1000000000000L div (60L + tfidf_rank)"),
+                lit(0L))).as("rrf_q"))
+          .orderBy(col("rrf_q").desc, col("doc_id"))
+          .limit(10)
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 len($toksAllDuck) AS dl,
+                 len(list_filter($toksAllDuck, x -> x = 'dup')) AS tf0,
+                 len(list_filter($toksAllDuck, x -> x = 'vector')) AS tf1,
+                 len(list_filter($toksAllDuck, x -> x = 'batch')) AS tf2
+          FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+        s AS (
+          SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM t),
+        sc AS (
+          SELECT doc_id,
+                 (CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                   / (CAST(df0 AS DOUBLE) + 0.5)
+                   * (CAST(tf0 AS DOUBLE) * 2.2)
+                   / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                   / (CAST(df1 AS DOUBLE) + 0.5)
+                   * (CAST(tf1 AS DOUBLE) * 2.2)
+                   / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                   / (CAST(df2 AS DOUBLE) + 0.5)
+                   * (CAST(tf2 AS DOUBLE) * 2.2)
+                   / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+                       * (CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                 AS s_bm,
+                 CASE WHEN df0 > 0 THEN CAST(tf0 AS DOUBLE)
+                      * (CAST(n AS DOUBLE) / CAST(df0 AS DOUBLE))
+                      ELSE 0 END
+                 + CASE WHEN df1 > 0 THEN CAST(tf1 AS DOUBLE)
+                      * (CAST(n AS DOUBLE) / CAST(df1 AS DOUBLE))
+                      ELSE 0 END
+                 + CASE WHEN df2 > 0 THEN CAST(tf2 AS DOUBLE)
+                      * (CAST(n AS DOUBLE) / CAST(df2 AS DOUBLE))
+                      ELSE 0 END
+                 AS s_ti
+          FROM t, s),
+        b AS (
+          SELECT doc_id, r AS bm25_rank FROM (
+            SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY s_bm DESC, doc_id) AS BIGINT) AS r FROM sc)
+          WHERE r <= 100),
+        ti AS (
+          SELECT doc_id, r AS tfidf_rank FROM (
+            SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY s_ti DESC, doc_id) AS BIGINT) AS r FROM sc)
+          WHERE r <= 100)
+        SELECT coalesce(b.doc_id, ti.doc_id) AS doc_id,
+               b.bm25_rank, ti.tfidf_rank,
+               coalesce(1000000000000 // (60 + b.bm25_rank), 0)
+                 + coalesce(1000000000000 // (60 + ti.tfidf_rank), 0)
+                 AS rrf_q
+        FROM b FULL JOIN ti ON b.doc_id = ti.doc_id
+        ORDER BY rrf_q DESC, doc_id
+        LIMIT 10""")))
 
   /** llm_split_assign's deterministic 90/5/5 split — the salted-md5
     * uniform key mapped through the fixed thresholds, factored out

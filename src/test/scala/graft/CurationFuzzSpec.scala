@@ -208,6 +208,14 @@ class CurationFuzzSpec extends GraftSpec {
     // path; empty/whitespace docs also pin dl = 0 through the length
     // normalization (0/avgdl, not 0/0 — avgdl > 0 on this corpus).
     "llm_bm25_search",
+    // RRF fusion (r20): on the all-miss fuzz corpus BOTH rankers tie
+    // every score at 0.0, so the two rank columns are decided purely by
+    // the doc_id tiebreak (identical rankings — the degenerate-fusion
+    // path where every doc fuses from the same rank twice), AND the
+    // 67-doc corpus is smaller than K=100, so both top-K lists truncate
+    // at the corpus — the small-corpus edge the fixture never hits; the
+    // df=0 tf-idf guard branch is live on every doc.
+    "llm_hybrid_rrf",
     // Bigram LM + fluency scoring (r18): transition-less docs (empty /
     // whitespace / one token) must vanish from the score output in BOTH
     // engines, the giant repetition doc collapses to ONE high-count

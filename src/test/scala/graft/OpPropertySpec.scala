@@ -519,4 +519,55 @@ class OpPropertySpec extends GraftSpec {
       s"sparse-key scores must equal the fixpoint; first diff: ${
         out.find(p => score(p._1) != p._2)}")
   }
+
+  test("llm_hybrid_rrf: an independent Scala rank-and-fuse reproduces the top-10") {
+    // A straight Scala reimplementation — tokenize, BM25 and tf·idf in
+    // the row's exact IEEE operation order, rank top-100 by (score desc,
+    // doc_id), fuse with the quantized 1e12/(60+r) contributions — must
+    // reproduce the declared output tuple-for-tuple, nullable ranks
+    // included. Scala Double arithmetic is the same IEEE ops as Spark's
+    // codegen and DuckDB, so there is no tolerance anywhere.
+    val dir = TestEnv.Sf001
+    val out = SparkEntry.queries("llm_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    val terms = Seq("dup", "vector", "batch")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val toks = Option(if (r.isNullAt(1)) null else r.getString(1))
+          .getOrElse("").split(" ", -1).filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong,
+          terms.map(t => toks.count(_ == t).toLong))
+      }
+    val n = docs.length.toDouble
+    val sumdl = docs.map(_._2).sum.toDouble
+    val dfs = terms.indices.map(i => docs.count(_._3(i) > 0).toDouble)
+    val avgdl = sumdl / n
+    val scored = docs.map { case (id, dl, tfs) =>
+      val sBm = terms.indices.map { i =>
+        val tf = tfs(i).toDouble
+        val idf = (n - dfs(i) + 0.5) / (dfs(i) + 0.5)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+      }.reduce(_ + _)
+      val sTi = terms.indices.map { i =>
+        if (dfs(i) > 0) tfs(i).toDouble * (n / dfs(i)) else 0.0
+      }.reduce(_ + _)
+      (id, sBm, sTi)
+    }
+    def ranks(score: ((Long, Double, Double)) => Double): Map[Long, Long] =
+      scored.sortBy(t => (-score(t), t._1)).take(100)
+        .zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val bR = ranks(_._2)
+    val tR = ranks(_._3)
+    val fused = (bR.keySet ++ tR.keySet).toSeq.map { id =>
+      val q = bR.get(id).map(r => 1000000000000L / (60L + r)).getOrElse(0L) +
+        tR.get(id).map(r => 1000000000000L / (60L + r)).getOrElse(0L)
+      (id, bR.get(id), tR.get(id), q)
+    }.sortBy(t => (-t._4, t._1)).take(10)
+    assert(out.toSeq == fused,
+      s"fused top-10 must equal the independent rank-and-fuse:\n$out\nvs\n$fused")
+  }
 }

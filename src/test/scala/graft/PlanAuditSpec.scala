@@ -1033,4 +1033,26 @@ class PlanAuditSpec extends GraftSpec {
       .findAllIn(p).size == 4,
       s"four damped rounds = four per-node join-backs:\n${p.take(4000)}")
   }
+
+  test("llm_hybrid_rrf: top-K heaps, no corpus shuffle, K-bound fusion join") {
+    // The production RRF shape: each ranker contributes its TOP-K list
+    // via a TakeOrderedAndProject heap (never a global sort), ranks are
+    // window-assigned WITHIN the K-row lists (single-partition exchanges
+    // are answer-bound by the preceding limit), and the fusion join is
+    // the K-row full-outer SMJ. The corpus itself never hash-shuffles:
+    // its only joins are the 1-row stats BNLJ attach, and the two score
+    // columns come from ONE persisted pass.
+    val p = planNoAutoBroadcast("llm_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 3,
+      s"two top-100 ranker heaps + the fused top-10 heap:\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must never hash-shuffle in this row:\n${p.take(3000)}")
+    assert("SortMergeJoin [^\\n]*FullOuter".r.findFirstIn(p).isDefined,
+      s"the fusion join is the K-bound full-outer SMJ:\n${p.take(3000)}")
+    assert(!p.contains("ShuffledHashJoin") &&
+      "SortMergeJoin".r.findAllIn(p).size == 1,
+      s"no corpus-scale join may appear beyond the fusion join:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row stats must attach as BNLJ:\n${p.take(3000)}")
+  }
 }
