@@ -101,9 +101,37 @@ object LlmQueries {
     * result broadcast legitimately small.
     */
   private[queries] def minLabelComponents(pairs: DataFrame): DataFrame = {
-        val edges = pairs.select(col("src"), col("dst"))
-          .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
-          .persist()
+        // Symmetrize with ONE scan of `pairs` (round 21, guide §2.4): the
+        // previous two-branch unionAll consumed `pairs` twice, and both
+        // callers pass the UNPERSISTED verified-pair pipeline — so the
+        // whole LSH candidate+verify graph executed once per branch
+        // (profiled at sf0.1: the two duplicated 44.5 MB anchor exchanges
+        // + their upstream accounted for ~70 s of llm_dedup_cluster's
+        // 156 s total executor time). explode over a 2-element struct
+        // array emits both directions from a single pass.
+        val sym = pairs
+          .select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // Scale-adaptive loop layout (round 21, guide §2): the loop's
+        // per-round scans previously inherited the verify shuffle's
+        // static partition count (2×spark.sql.shuffle.partitions after
+        // the union) — 64 tasks per round over a 2.8 MB cached edge set
+        // at sf0.1, ~80 s of the row's executor time in pure per-task
+        // overhead. Size the partition count from the MEASURED edge
+        // count instead (~4M edge rows ≈ 100-200 MB cached per
+        // partition), and hash-partition by `src` so the per-round
+        // neighbor-min aggregation and the label join inherit the layout
+        // with no further exchange. The raw cache materializes the
+        // expensive pipeline once; the repartitioned cache is built from
+        // it and the raw copy is dropped immediately.
+        val raw = sym.persist()
+        val nEdges = raw.count()
+        val parts = math.max(1L, math.min(nEdges / 4000000L + 1L, 100000L)).toInt
+        val edges = raw.repartition(parts, col("src")).persist()
+        edges.count() // materialize from the raw cache before dropping it
+        raw.unpersist(blocking = true)
         val MaxIters = 30
         // Labels only over ACTIVE reps — those with at least one verified
         // edge (round-7 ADVICE: a label row per rep approaches corpus size
@@ -128,9 +156,14 @@ object LlmQueries {
           val nbrMin = edges
             .join(broadcast(labels), col("dst") === col("rep_id"))
             .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+          // `oldc` carries this round's INPUT label through both steps so
+          // the convergence check below is a filter-count on the already-
+          // checkpointed table instead of a per-round next⋈labels join
+          // (round 21: that join cost two exchanges + a sort per round
+          // for a comparison both operands of which are produced here).
           val half = labels
             .join(nbrMin, col("rep_id") === col("src"), "left")
-            .select(col("rep_id"),
+            .select(col("rep_id"), col("comp").as("oldc"),
               least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
             .localCheckpoint(true) // truncate lineage; also materializes
           // Pointer jump: comp ← comp(comp). Doubles the propagated
@@ -140,21 +173,21 @@ object LlmQueries {
           // are the checkpointed label table (tiny), no edge re-scan.
           val next = half.as("l")
             .join(broadcast(half.as("m")), col("l.comp") === col("m.rep_id"))
-            .select(col("l.rep_id").as("rep_id"), col("m.comp").as("comp"))
+            .select(col("l.rep_id").as("rep_id"), col("l.oldc").as("oldc"),
+              col("m.comp").as("comp"))
             .localCheckpoint(true)
           // `half` is dead the moment `next` materializes (eager checkpoint
           // above) — free its blocks now, not at session end.
           freeCheckpoint(half)
           // Converged ⇔ next == labels: stability under BOTH steps forces
           // comp constant per component (symmetric edges) and root-valued,
-          // i.e. comp == component min.
-          val changed = next.as("n")
-            .join(labels.as("o"), "rep_id")
-            .where(col("n.comp") =!= col("o.comp"))
-            .count()
+          // i.e. comp == component min. `oldc` IS the labels-side value of
+          // the old next⋈labels comparison (labels(r).comp carried through
+          // the round), so the predicate is unchanged.
+          val changed = next.where(col("comp") =!= col("oldc")).count()
           // The previous round's labels are dead once `changed` is counted.
           freeCheckpoint(labels)
-          labels = next
+          labels = next.select(col("rep_id"), col("comp"))
           converged = changed == 0L
           iter += 1
         }
@@ -316,6 +349,16 @@ object LlmQueries {
     val gb = reps.select(col("rep_id").as("b_rep"), col("tids").as("b_t"))
     val inter = VectorOps.sortedIntersectCount(col("a_t"), col("b_t"))
       .cast("int")
+    // Size-ratio prefilter (round 21): A/B'd and NOT adopted. jac ≤
+    // min(|a|,|b|)/max(|a|,|b|), so a `least(size(a),size(b)) ≥
+    // τ·greatest(...)` guard before the sorted-merge intersect is
+    // exactness-preserving and would skip the O(|a|+|b|) walk for
+    // size-incompatible pairs — but on this fixture's narrow token-set
+    // size distribution it pruned too little to pay for its own per-pair
+    // evaluation: interleaved same-boot llm_neardup_minhash read
+    // 6.45/6.70 s without vs 7.17/6.99 s with the guard (~7% loss).
+    // Worth re-measuring on a corpus with heavy-tailed doc lengths,
+    // where the prune rate is structurally higher.
     val verified = cand
       .join(ga, "a_rep").join(gb, "b_rep")
       .select(col("a_rep"), col("b_rep"),

@@ -2641,12 +2641,18 @@ object TextQueries {
       "llm_pagerank",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
+        // persist() on edges too (round 21, r20 ADVICE): the degree
+        // self-join below consumes `edges` twice, so without its own cache
+        // entry the corpus scan + explode ran twice during edgesDeg's
+        // one-time build — the edgesDeg persist only saved the per-round
+        // re-scans. Both entries are reclaimed by Cleanup.release.
         val edges = docs.filter(col("node") >= 2)
           .select(col("node").as("src"),
             explode(array_distinct(filter(
               array(expr("node div 2"), expr("node div 3"),
                 expr("node div 5")),
               t => t >= 1L))).as("dst"))
+          .persist()
         // persist(): consumed once per damped round — without it every
         // round re-scans the corpus and re-pays the degree shuffle
         // (reclaimed per-query by Cleanup.release, the harness contract).

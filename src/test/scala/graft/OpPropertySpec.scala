@@ -515,9 +515,13 @@ class OpPropertySpec extends GraftSpec {
       score = keys.map(n => n -> (150000L + 85L * inc.getOrElse(n, 0L) / 100L)).toMap
     }
     assert(out.map(_._1).toSeq == keys, "one row per doc, ordered by node")
-    assert(out.toMap == score.filter(kv => nodeSet(kv._1)),
+    // r20 ADVICE: `score` is keyed by exactly `keys`, so no filter is
+    // needed; the diagnostic uses a total lookup (`get`) so a node Spark
+    // emitted that is absent from `score` reports as the first diff
+    // instead of throwing NoSuchElementException over the assert message.
+    assert(out.toMap == score,
       s"sparse-key scores must equal the fixpoint; first diff: ${
-        out.find(p => score(p._1) != p._2)}")
+        out.find(p => !score.get(p._1).contains(p._2))}")
   }
 
   test("llm_hybrid_rrf: an independent Scala rank-and-fuse reproduces the top-10") {
