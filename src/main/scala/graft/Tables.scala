@@ -86,4 +86,24 @@ object Tables {
     */
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,2)")
+
+  /** Round 21 (optimization guide §2.5, input-skew remedy): floor on the
+    * parallelism of a heavy map-side pipeline. The fixture tables are
+    * single-file, single-row-group parquet, so a scan — and everything
+    * fused above its first exchange: tokenization, shingling, dot
+    * products, partial aggregation — otherwise runs as ONE task
+    * regardless of core count (parquet cannot split below a row group;
+    * profiled at sf0.1: llm_knn_graph's bucket join ran 2.0 s
+    * single-task on a 32-core session). Repartitions by a provided
+    * unique key (hash — deterministic, and unlike round-robin it pays no
+    * sort-before-repartition) ONLY when the scan is narrower than the
+    * session's default parallelism; at production scale scans are
+    * already wider than the core count and this is a no-op, so nothing
+    * here is tuned to the local fixture.
+    */
+  def spread(spark: SparkSession, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
 }

@@ -354,10 +354,19 @@ object JoinQueries {
     Q(
       "join_q21_waiting",
       (s, d) => {
-        val l = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        val ord = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderdate"))
+        // spread (round 21): the fixture files scan as 1–3 partitions, so
+        // the distinct/join map sides ran near-single-task. Spreading BY
+        // THE JOIN KEY does double duty (Tables.spread doc + guide §2.4):
+        // hash(l_orderkey) satisfies the clustered distribution of both
+        // the (l_orderkey, l_suppkey) distincts and every orderkey join
+        // leg, so the one conditional shuffle replaces the per-leg
+        // exchanges the narrow scan would otherwise pay.
+        val l = Tables.spread(s, Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")),
+          col("l_orderkey"))
+        val ord = Tables.spread(s, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey"))
         val multi = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
         val late = l.join(ord, col("l_orderkey") === col("o_orderkey"))
           .where(col("l_shipdate") >

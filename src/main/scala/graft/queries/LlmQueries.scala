@@ -238,7 +238,13 @@ object LlmQueries {
   private[graft] def lshRepGraphAt(s: SparkSession, d: String, tau: Double,
       rowsPerBand: Int): (DataFrame, DataFrame) = {
     val numBands = MinHash.NumHashes / rowsPerBand
-    val docs = Tables.documents(s, d)
+    // spread (round 21): single-row-group fixture file — tokenization +
+    // hashing otherwise run as one task up to the chunks exchange
+    // (Tables.spread doc); text is projected first so the conditional
+    // repartition moves only (doc_id, text).
+    val docs = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         sort_array(array_distinct(
           transform(toks(col("text")), t => xxhash64(t)))).as("tids"))

@@ -160,7 +160,12 @@ object TextQueries {
   private[graft] def containmentRepGraph(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val t = Tables.documents(s, d)
+    // spread (round 21): single-row-group fixture file — shingling +
+    // hashing otherwise run as one task up to the chunks exchange
+    // (Tables.spread doc).
+    val t = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), toksAll(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -467,8 +472,12 @@ object TextQueries {
     Q(
       "llm_neardup_containment",
       (s, d) => {
-        val t = Tables.documents(s, d)
-          .where(col("doc_id") < 300)
+        // spread (round 21): parallelize the tokenize/gram map work over
+        // the 1-partition fixture scan (Tables.spread doc; no-op at
+        // production scan widths).
+        val t = Tables.spread(s, Tables.documents(s, d)
+            .where(col("doc_id") < 300)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),
@@ -1162,11 +1171,31 @@ object TextQueries {
             expr(s"CAST(doc_id AS BIGINT) div $PackBucketWidth").as("bkt"))
         val bucketTotals = t.groupBy(col("bkt"))
           .agg(sum(col("n_toks")).as("bkt_toks"))
-        val wBkt = Window.orderBy(col("bkt"))
+          .select(col("bkt"), col("bkt_toks"),
+            expr(s"bkt div $PackBucketWidth").as("sbkt"))
+        // Round 21 (r20 verdict #2a): SECOND scan level. The bucket table
+        // is N/W rows, so the previous single unpartitioned window over it
+        // was the one structure in the tree whose single-partition input
+        // grew with N. Super-bucket totals (N/W² rows) take the only
+        // remaining unpartitioned window — ≤W rows until N > W³ (10¹⁸
+        // docs at the production W = 10⁶) — and the per-bucket exclusive
+        // cumsum windows BY super-bucket (≤W rows per partition, parallel
+        // across super-buckets). bkt_off = Σ_{sb'<sb} sb_toks +
+        // Σ_{same sb, b'<b} bkt_toks — the identical exact-BIGINT global
+        // prefix sum, so the declared output is bit-unchanged.
+        val sbTotals = bucketTotals.groupBy(col("sbkt"))
+          .agg(sum(col("bkt_toks")).as("sb_toks"))
+        val wSb = Window.orderBy(col("sbkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val bucketOff = bucketTotals.select(col("bkt"),
-          coalesce(sum(col("bkt_toks")).over(wBkt), lit(0L))
-            .cast("bigint").as("bkt_off"))
+        val sbOff = sbTotals.select(col("sbkt"),
+          coalesce(sum(col("sb_toks")).over(wSb), lit(0L))
+            .cast("bigint").as("sb_off"))
+        val wBkt = Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bucketOff = bucketTotals.join(broadcast(sbOff), Seq("sbkt"))
+          .select(col("bkt"),
+            (col("sb_off") + coalesce(sum(col("bkt_toks")).over(wBkt), lit(0L)))
+              .cast("bigint").as("bkt_off"))
         val wDoc = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
         t.join(broadcast(bucketOff), Seq("bkt"))
@@ -1232,7 +1261,10 @@ object TextQueries {
       "llm_tfidf_topk",
       (s, d) => {
             val docs = Tables.documents(s, d)
-        def toks = docs
+        // spread (round 21): see Tables.spread (the n_docs count below
+        // keeps the plain scan — it reads no text).
+        def toks = Tables.spread(s,
+            docs.select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
           .where(col("tok").isNotNull) // explode_outer: see llm_vocab_topk
         val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -1293,7 +1325,10 @@ object TextQueries {
     Q(
       "llm_contamination",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // spread (round 21): see Tables.spread — gram explode otherwise
+        // single-task on the 1-partition fixture scan.
+        val docs = Tables.spread(s, Tables.documents(s, d)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),
@@ -1357,7 +1392,9 @@ object TextQueries {
     Q(
       "llm_contamination_capped",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // spread (round 21): see llm_contamination.
+        val docs = Tables.spread(s, Tables.documents(s, d)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),

@@ -36,6 +36,26 @@ object VectorQueries {
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** vecs with the round-21 parallelism floor (Tables.spread): the
+    * embeddings fixture is a single-row-group file, so every assignment /
+    * signature / dot pipeline fused above its first exchange otherwise
+    * runs as ONE task (llm_knn_graph's bucket join profiled at 2.0 s
+    * single-task on 32 cores). Used ONLY where the fused map work is
+    * heavy enough to pay for the extra exchange — measured per site in
+    * the round-21 filtered A/B: pqIndex (llm_pq_search 2.7→1.7 s),
+    * srpRepGraph, llm_knn_graph (4.5→2.8 s), llm_neardup_cosine. The
+    * map-only rows (llm_emb_quant etc.) keep the plain reader and their
+    * pinned zero-corpus-shuffle plans, and ivfIndex/hierIndex REVERTED
+    * to the plain reader: their assignment work is light and their cache
+    * feeds many small stages, where 32-partition scans cost more in
+    * per-task overhead than the parallelism returns (ann_hier 1.4→1.8 s,
+    * knn_hier 1.2→1.6 s with spread — a measured loss).
+    */
+  private def vecsSpread(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.spread(s, Tables.embeddings(s, d), col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
   /** Shared IVF machinery (round-7 verdict "next round" #4 factored it out
     * of llm_ann_ivf so the cell assignment doubles as the bucketed-kNN
     * candidate generator): returns (e, cents, cell, nprobe) where
@@ -439,7 +459,7 @@ object VectorQueries {
     */
   private def pqIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = vecs(s, d).persist()
+    val e = vecsSpread(s, d).persist()
     val n = e.count()
     val sstride = math.max(1L, n / PqK)
     val cb = e.where(col("vec_id") % sstride === 0 &&
@@ -641,7 +661,7 @@ object VectorQueries {
   private[graft] def srpRepGraph(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val e = vecs(s, d)
+    val e = vecsSpread(s, d)
     // Stage 0: collapse byte-identical vectors, member lists chunked by a
     // vec_id hash (bounded row width — LlmQueries.MemberChunks), group-wide
     // rep + size attached by one window over the bounded chunk rows.
@@ -783,7 +803,7 @@ object VectorQueries {
     Q(
       "llm_neardup_cosine",
       (s, d) => {
-        val e = vecs(s, d)
+        val e = vecsSpread(s, d)
           .select(col("vec_id"), col("v"),
             sqrt(VectorOps.dot(col("v"), col("v"))).as("norm"))
         val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"),
@@ -941,7 +961,7 @@ object VectorQueries {
     Q(
       "llm_knn_graph",
       (s, d) => {
-        val e = vecs(s, d).persist()
+        val e = vecsSpread(s, d).persist()
         val n = e.count()
         val ncellsTarget = math.max(1L, (n + GraphBucket - 1) / GraphBucket)
         val bBits = java.lang.Long.toBinaryString(

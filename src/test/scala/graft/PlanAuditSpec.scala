@@ -401,22 +401,28 @@ class PlanAuditSpec extends GraftSpec {
       s"membership must be a shuffle join on the digest:\n${p.take(3000)}")
   }
 
-  test("llm_seq_pack prefix-sums two-level: no corpus-wide window partition") {
-    // The scale contract (TextQueries comment): the corpus-wide exclusive
-    // prefix sum must NOT plan as one global window partition. Exactly two
-    // Window nodes: the doc-level one PARTITIONED by bkt (bounded W-row
-    // partitions), and the unpartitioned one consuming only the aggregated
-    // N/W-row bucket table. The bucket-offset table is the plan's only
-    // BroadcastExchange (bounded by construction); the corpus side never
-    // shuffle-joins.
+  test("llm_seq_pack prefix-sums three-level: no window input grows with N") {
+    // The scale contract (TextQueries comment; deepened round 21 per the
+    // r20 verdict): the corpus-wide exclusive prefix sum must NOT plan as
+    // one global window partition, and since round 21 the BUCKET table's
+    // own scan is two-level too — the N/W-row bucket cumsum previously
+    // ran as ONE unpartitioned window whose input grew with N. Exactly
+    // three Window nodes: doc-level PARTITIONED by bkt (≤W rows), bucket-
+    // level PARTITIONED by sbkt (≤W rows), and the only unpartitioned one
+    // consuming the N/W²-row super-bucket table (≤W rows until N > W³ =
+    // 10¹⁸ docs at the production W = 10⁶). Both offset tables broadcast
+    // (bounded by construction); the corpus side never shuffle-joins.
     val p = planNoAutoBroadcast("llm_seq_pack")
-    assert("Window \\[".r.findAllIn(p).size == 2,
-      s"expected exactly the two-level scan's two Window nodes:\n${p.take(3000)}")
+    assert("Window \\[".r.findAllIn(p).size == 3,
+      s"expected exactly the three-level scan's three Window nodes:\n${p.take(3000)}")
     assert("windowspecdefinition\\(bkt#\\d+L?, doc_id#".r.findFirstIn(p).isDefined,
       s"doc-level cumsum must be PARTITIONED by bkt (a corpus-wide " +
         s"unpartitioned window is the classic scale-killer):\n${p.take(3000)}")
-    assert("BroadcastExchange".r.findAllIn(p).size == 1,
-      s"expected exactly the bucket-offset broadcast:\n${p.take(3000)}")
+    assert("windowspecdefinition\\(sbkt#\\d+L?, bkt#".r.findFirstIn(p).isDefined,
+      s"bucket-level cumsum must be PARTITIONED by sbkt (its input is " +
+        s"N/W rows — corpus-growing):\n${p.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(p).size == 2,
+      s"expected exactly the two offset-table broadcasts:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle-join the bucket offsets:\n${p.take(3000)}")
   }
@@ -637,7 +643,11 @@ class PlanAuditSpec extends GraftSpec {
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toList
     assert(exchanges.exists(_.contains("rangepartitioning(vec_id")),
       s"output-order Exchange missing:\n${exchanges.mkString("\n")}")
+    // REPARTITION_BY_NUM on vec_id is the round-21 conditional scan
+    // spread (Tables.spread — absent at production scale where scans are
+    // already wide), not a corpus-wide join exchange.
     assert(exchanges.forall(l => l.contains("rangepartitioning(vec_id") ||
+      (l.contains("hashpartitioning(vec_id") && l.contains("REPARTITION_BY_NUM")) ||
       (l.contains("hashpartitioning") &&
         (l.contains("(v#") || l.contains("transform(v#")))),
       s"every hash exchange must be the rep-collapse build (keyed on the vector):\n" +
@@ -756,9 +766,18 @@ class PlanAuditSpec extends GraftSpec {
     val p = planNoAutoBroadcast("llm_pq_codes")
     assert(p.contains("BroadcastExchange"),
       s"codebook must broadcast under threshold=-1:\n${p.take(3000)}")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx == 1,
-      s"expected exactly 1 hash exchange (the code agg), got $hashEx:\n${p.take(3000)}")
+    // Round 21: the conditional scan spread (Tables.spread,
+    // REPARTITION_BY_NUM on vec_id) hash-partitions the cached vectors by
+    // vec_id, which already satisfies the (vec_id, m) code agg's
+    // clustered distribution — so the agg needs NO exchange of its own
+    // (guide §2.4, two operations sharing one partitioning). Allow either
+    // that fused shape (0 non-spread hash exchanges) or the standalone
+    // agg exchange (1, when the scan is wide enough that spread is a
+    // no-op); anything more is a regression.
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(hashEx <= 1,
+      s"expected at most 1 hash exchange (the code agg), got $hashEx:\n${p.take(3000)}")
   }
 
   test("llm_pq_search: ADC scores via broadcast dt, corpus codes never broadcast") {
