@@ -25,6 +25,8 @@ object ProfileQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      // AQE-sized cached-plan partitioning (round 21; rationale in Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,8 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false") // pinned, matches Bench
+      // AQE-sized cached-plan partitioning (round 21; rationale in Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,8 @@ object Verify {
       // parity-verified under non-ANSI evaluation; leaving it to the build
       // default makes behavior environment-dependent.
       .config("spark.sql.ansi.enabled", "false")
+      // AQE-sized cached-plan partitioning (round 21; rationale in Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
