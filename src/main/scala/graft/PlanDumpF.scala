@@ -20,6 +20,11 @@ object PlanDumpF {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.ansi.enabled", "false")
+      // Keep the plan-evidence session config in lockstep with Bench
+      // (round-22 ADVICE): Bench/Verify/TimeQuery/ProfileQuery all set
+      // this; the flag acts at AQE runtime so the static dump rarely
+      // changes, but the committed evidence must not diverge in conf.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -367,15 +367,27 @@ object JoinQueries {
         val ord = Tables.spread(s, Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_orderdate")),
           col("o_orderkey"))
+        // hint("merge") on every fact-fact leg (round 22, r21 verdict #1):
+        // unpinned, AQE's runtime size estimates sat near the broadcast
+        // threshold and flipped the semi/anti/late legs to fact-scale
+        // broadcasts — against this row's own declared posture (late and
+        // multi are fact-scale at 100 TB), and the flip is boot-level
+        // nondeterministic (the r21 driver measured one 32-core boot at
+        // 52.6 s vs 2.5 s in adjacent boots). Profiled at sf0.1/32: the
+        // broadcast shape spent ~45 s of its ~64 s executor time BLOCKED
+        // (19 s CPU) — 32 tasks serializing on deserialization of the
+        // 600k-row hashed relations. Pinned SMJ, all legs ride the one
+        // hash(l_orderkey) spread exchange: executor time 64→~17 s,
+        // deterministic across boots (A/B table in OPTIMIZATION_r22.md).
         val multi = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val late = l.join(ord, col("l_orderkey") === col("o_orderkey"))
+        val late = l.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
           .where(col("l_shipdate") >
             col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val cand = late.as("a").join(multi.as("b"),
+        val cand = late.as("a").join(multi.as("b").hint("merge"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_suppkey") =!= col("b.l_suppkey"), "leftsemi")
-        val sole = cand.as("a").join(late.as("c"),
+        val sole = cand.as("a").join(late.as("c").hint("merge"),
           col("a.l_orderkey") === col("c.l_orderkey") &&
             col("a.l_suppkey") =!= col("c.l_suppkey"), "leftanti")
         sole.join(broadcast(Tables.supplier(s, d)

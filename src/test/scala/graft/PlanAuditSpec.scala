@@ -704,6 +704,20 @@ class PlanAuditSpec extends GraftSpec {
       s"only the supplier dimension may broadcast:\n${p.take(3000)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must plan as TakeOrderedAndProject:\n${p.take(3000)}")
+    // Round 22 (r21 verdict #1): the threshold=-1 view above only shows
+    // what the code PROMISES is bounded; the r21 driver's 52.6 s 32-core
+    // boot came from the DEFAULT session, where AQE's runtime estimates
+    // sat near the broadcast threshold and flipped the fact legs to
+    // 600k-row broadcasts boot-nondeterministically. The legs now carry
+    // hint("merge") (a logical-plan hint, so AQE's replanning honors it
+    // too) — pin the default-session plan: both self-join legs SMJ, the
+    // late-derivation orders join SMJ, supplier the only broadcast.
+    val pd = plan("join_q21_waiting")
+    val defSelf = "SortMergeJoin [^\\n]*Left(Semi|Anti)".r.findAllIn(pd).size
+    assert(defSelf == 2,
+      s"default session: semi/anti legs must be SMJ (merge-hinted), found $defSelf:\n${pd.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(pd).size == 1,
+      s"default session: only the supplier dimension may broadcast:\n${pd.take(3000)}")
   }
 
   test("llm_bpe_merges: vocab-bound after the word histogram, top-k as heaps") {
