@@ -242,9 +242,25 @@ object Bench {
         out
       }
     }
-    def time(q: Q): Sample = {
+    // Adaptive per-sample brackets (round 22, r21 verdict #3): the r21
+    // driver run passed BOTH run-level probe brackets while a mid-run
+    // window inflated its untouched rows ~1.3×, and only the 5 statically
+    // membw-flagged rows carried per-sample evidence — every cross-round
+    // comparison needed manual adjudication against a second run. Now ANY
+    // query whose first sample is ≥ BracketFloor (default 2 s) gets the
+    // bw/bw_after probe BRACKET on its repeat samples (probes run OUTSIDE
+    // the timed region — zero measurement tax on the timed numbers; the
+    // in-region heartbeat stays exclusive to the static membw set, so no
+    // row's timing basis changes). The first sample carries no bracket and
+    // counts not-clean in the admissibility rule, so a 3-sample median is
+    // admissible iff both bracketed samples are clean — conservative by
+    // construction.
+    val bracketFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BRACKET_FLOOR_SEC", "2.0").toDouble
+    def time(q: Q, alsoBracket: Boolean = false): Sample = {
       val flagged = membwQueries(q.name)
-      val bw = if (flagged) probeMembw() else -1.0
+      val bracket = flagged || alsoBracket
+      val bw = if (bracket) probeMembw() else -1.0
       val ev0 = settleDropped()
       // `at` is read AFTER the settle wait (round-10 ADVICE): settleDropped
       // can sleep up to 1 s, and the offset exists to position the TIMED
@@ -261,7 +277,7 @@ object Bench {
       // The closing probe runs BEFORE the cleanup sweep so the bracket
       // hugs the timed region (the sweep + GC can take seconds; a window
       // change inside them is not this sample's evidence).
-      val bwAfter = if (flagged) probeMembw() else -1.0
+      val bwAfter = if (bracket) probeMembw() else -1.0
       clearState()
       Sample(if (ok) dt else -1.0, at, ev, bw, bwAfter, hb, hbOn = flagged)
     }
@@ -368,8 +384,10 @@ object Bench {
       repeats > 1 && (forced(q.name) || first.sec < 0.0 || first.sec >= repeatFloor)
     }
     val extra: Map[String, Seq[Sample]] =
-      (1 until repeats).flatMap(_ => repeatSet.map(q => q.name -> time(q)))
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      (1 until repeats).flatMap(_ => repeatSet.map { q =>
+        val first = firsts.collectFirst { case (n, s) if n == q.name => s.head }.get
+        q.name -> time(q, alsoBracket = first.sec >= bracketFloor)
+      }).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
     val samples = firsts.map { case (k, first) =>
       k -> (first ++ extra.getOrElse(k, Seq.empty))
     }
@@ -463,7 +481,9 @@ object Bench {
     } catch { case _: Throwable => None }
     val admissibilityJson: Option[String] = healthyMembw.map { line =>
       samples
-        .filter { case (_, v) => v.exists(_.hbOn) }
+        // Any query with at least one bracketed sample is assessed — the
+        // static membw set AND the adaptive ≥BracketFloor rows (round 22).
+        .filter { case (_, v) => v.exists(s => s.bw >= 0.0 || s.bwAfter >= 0.0) }
         .map { case (k, v) =>
           val flags = v.map { s =>
             if (s.bw < 0.0 && s.bwAfter < 0.0) None

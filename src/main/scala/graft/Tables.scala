@@ -97,13 +97,53 @@ object Tables {
     * single-task on a 32-core session). Repartitions by a provided
     * unique key (hash — deterministic, and unlike round-robin it pays no
     * sort-before-repartition) ONLY when the scan is narrower than the
-    * session's default parallelism; at production scale scans are
-    * already wider than the core count and this is a no-op, so nothing
-    * here is tuned to the local fixture.
+    * size-derived target; at production scale scans are already wider
+    * than the core count and this is a no-op, so nothing here is tuned
+    * to the local fixture.
+    *
+    * Round 22 (r21 verdict #2): the partition count is derived from the
+    * DATA SIZE, capped at the session's default parallelism — no longer
+    * the raw core count. The r21 core-count form put a 0.8 MB cached
+    * index on 32 partitions, and every downstream index-scale stage then
+    * paid 32 near-empty tasks (the measured llm_pq_codes/pack/recon
+    * 1.3-1.5× regressions). `SpreadTargetBytes` is the measured
+    * bytes-per-task knee for the CPU-heavy map pipelines this floor
+    * serves (A/B table in OPTIMIZATION_r22.md — 32 KB..256 KB swept at
+    * sf0.1; compute above the floor is ~10²-10³ instructions/byte, so
+    * tasks this small still amortize their launch overhead); it only
+    * matters in the narrow-scan regime — at production widths the
+    * byte-derived count exceeds the parallelism cap long before the
+    * scan-narrower-than-target condition can hold.
+    *
+    * Width and size both come from the optimizer's stats (file bytes ×
+    * column-pruning ratio), never `df.rdd` (r21 ADVICE: resolving .rdd
+    * under AQE eagerly materializes any exchange already in the plan —
+    * latent here since every call site passes a scan+project/filter,
+    * but nothing enforced that precondition).
     */
+  private[graft] val SpreadTargetBytes = 64L * 1024
+
+  /** Smaller per-task byte target for the HEAVY text map pipelines
+    * (shingle/sort/hash chains over every token — r22 A/B: at the default
+    * 64 KB target the containment/tfidf/contamination rows lost 1.1-1.4×
+    * because their compute-per-byte is an order above the vector sites';
+    * 16 KB restores their measured-optimal width at sf0.1 while staying
+    * data-derived and parallelism-capped).
+    */
+  private[graft] val SpreadTargetBytesHeavy = 16L * 1024
+
   def spread(spark: SparkSession, df: DataFrame,
-      key: org.apache.spark.sql.Column): DataFrame = {
-    val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+      key: org.apache.spark.sql.Column,
+      targetBytes: Long = SpreadTargetBytes): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val want = math.min(p, (bytes + targetBytes - 1) / targetBytes)
+    // Estimated scan width from the file layout (what FilePartition
+    // packing yields for splittable sources) — parquet cannot split
+    // below a row group, so this upper-bounds the effective width.
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanParts = math.max(1L, (bytes + maxPB - 1) / maxPB)
+    if (scanParts < want) df.repartition(want.toInt, key) else df
   }
 }

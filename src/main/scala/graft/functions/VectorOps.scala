@@ -117,6 +117,18 @@ object VectorOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** sortedIntersectCount with PPJoin-style early abandonment for a
+    * downstream `jac >= tau` filter (round 22, r21 verdict #5): abandon
+    * the merge walk as soon as even a perfect remaining suffix cannot
+    * reach the overlap a Jaccard of tau requires. ONLY safe under that
+    * filter — see SortedLongIntersectCountBounded for the equivalence
+    * argument.
+    */
+  def sortedIntersectCountBounded(a: Column, b: Column, tau: Double): Column =
+    ColumnBridge.column(
+      SortedLongIntersectCountBounded(
+        ColumnBridge.expression(a), ColumnBridge.expression(b), tau))
 }
 
 /** |A ∩ B| for two SORTED-ascending distinct long arrays via a single
@@ -176,5 +188,85 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedLongIntersectCount]] with POSITIONAL early abandonment (PPJoin's
+  * suffix bound, Xiao et al. WWW'08) for consumers that filter on
+  * `jac >= tau` (round 22, r21 verdict #5): jac = c/(n+m-c) >= tau forces
+  * c >= ceil(tau*(n+m)/(1+tau)) =: needed, and at any merge position the
+  * final count is bounded by c + min(remaining_a, remaining_b) — once that
+  * bound drops below `needed`, the walk stops and the PARTIAL count is
+  * returned.
+  *
+  * Output equivalence under the tau filter: for a pair with true jac >= tau
+  * the bound never fires (the bound is an upper bound on the true count,
+  * which is >= needed), so the exact count — and hence the exact jac in the
+  * output — is returned. For a pair with true jac < tau the returned
+  * partial c' <= true c < needed, and jac' = c'/(n+m-c') is monotone in c',
+  * so the row fails the filter exactly as before. Rows and values are
+  * bit-identical either way (IntersectBoundSpec fuzzes this against the
+  * exact expression). The bound is checked only on MISMATCH steps (a match
+  * leaves `c + remaining` unchanged, so it cannot newly violate the bound);
+  * matching pairs pay one extra register add per miss, failing pairs skip
+  * the tail of the walk.
+  *
+  * tau is a plan-time literal (the declared thresholds are constants), so
+  * `needed` folds into the generated code as arithmetic on the two lengths.
+  */
+case class SortedLongIntersectCountBounded(left: Expression, right: Expression,
+    tau: Double) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count_bounded expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    val needed = math.ceil(tau * (n + m) / (1.0 + tau)).toLong
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else {
+        if (xi < yj) i += 1 else j += 1
+        if (c + math.min(n - i, m - j) < needed) return c
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val needed = ctx.freshName("needed")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |long $needed = (long) java.lang.Math.ceil($tau * ($n + $m) / ${1.0 + tau});
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $x.getLong($i); long $yj = $y.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else {
+         |    if ($xi < $yj) { $i++; } else { $j++; }
+         |    if ($c + java.lang.Math.min($n - $i, $m - $j) < $needed) break;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongIntersectCountBounded =
     copy(left = newLeft, right = newRight)
 }

@@ -165,7 +165,7 @@ object TextQueries {
     // (Tables.spread doc).
     val t = Tables.spread(s,
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        col("doc_id"))
+        col("doc_id"), Tables.SpreadTargetBytesHeavy)
       .select(col("doc_id"), toksAll(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -477,7 +477,8 @@ object TextQueries {
         // production scan widths).
         val t = Tables.spread(s, Tables.documents(s, d)
             .where(col("doc_id") < 300)
-            .select(col("doc_id"), col("text")), col("doc_id"))
+            .select(col("doc_id"), col("text")), col("doc_id"),
+          Tables.SpreadTargetBytesHeavy)
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),
@@ -1264,7 +1265,8 @@ object TextQueries {
         // spread (round 21): see Tables.spread (the n_docs count below
         // keeps the plain scan — it reads no text).
         def toks = Tables.spread(s,
-            docs.select(col("doc_id"), col("text")), col("doc_id"))
+            docs.select(col("doc_id"), col("text")), col("doc_id"),
+            Tables.SpreadTargetBytesHeavy)
           .select(col("doc_id"), explode_outer(toksAll(col("text"))).as("tok"))
           .where(col("tok").isNotNull) // explode_outer: see llm_vocab_topk
         val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -1328,7 +1330,8 @@ object TextQueries {
         // spread (round 21): see Tables.spread — gram explode otherwise
         // single-task on the 1-partition fixture scan.
         val docs = Tables.spread(s, Tables.documents(s, d)
-            .select(col("doc_id"), col("text")), col("doc_id"))
+            .select(col("doc_id"), col("text")), col("doc_id"),
+          Tables.SpreadTargetBytesHeavy)
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),
@@ -1394,7 +1397,8 @@ object TextQueries {
       (s, d) => {
         // spread (round 21): see llm_contamination.
         val docs = Tables.spread(s, Tables.documents(s, d)
-            .select(col("doc_id"), col("text")), col("doc_id"))
+            .select(col("doc_id"), col("text")), col("doc_id"),
+          Tables.SpreadTargetBytesHeavy)
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),

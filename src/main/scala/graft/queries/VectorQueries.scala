@@ -459,7 +459,16 @@ object VectorQueries {
     */
   private def pqIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = vecsSpread(s, d).persist()
+    // Round 22 (r21 verdict #2): the r21 form spread the PERSISTED e to
+    // defaultParallelism — every index-scale consumer of the cache (the
+    // sizing count, cb's seed filter, the trio's tiny aggs) then paid 32
+    // near-empty tasks per stage, the measured pq_codes/pack/recon
+    // 1.3-1.5× regressions. The cache now stays at the scan's own width
+    // (data-sized: one block at sf0.1, already-wide at production) and
+    // ONLY the N·M·K scoring expansion — the one genuinely CPU-heavy
+    // stage, and the win behind llm_pq_search's r21 improvement — gets
+    // the size-derived parallelism floor on its input.
+    val e = vecs(s, d).persist()
     val n = e.count()
     val sstride = math.max(1L, n / PqK)
     val cb = e.where(col("vec_id") % sstride === 0 &&
@@ -468,7 +477,8 @@ object VectorQueries {
       .select(col("k"),
         explode(sequence(lit(0L), lit((PqM - 1).toLong))).as("m"), col("v"))
       .select(col("m"), col("k"), pqSub(col("v"), col("m")).as("cvec"))
-    val codes = e.crossJoin(broadcast(cb))
+    val codes = Tables.spread(s, e, col("vec_id"))
+      .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("m"), col("k"),
         pqD2(pqSub(col("v"), col("m")), col("cvec")).as("d2"))
       .groupBy(col("vec_id"), col("m"))

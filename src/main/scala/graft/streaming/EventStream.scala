@@ -57,6 +57,14 @@ object EventStream {
     * re-read the parquet footer (~50 ms of eager schema resolution per
     * query construction) for the same answer. Keyed by dir; never caches
     * data or results.
+    *
+    * IMMUTABLE-FIXTURE ASSUMPTION (round-22 ADVICE): there is no
+    * invalidation — a dir whose events.parquet is rewritten with a
+    * DIFFERENT physical ts type within one JVM would be served the stale
+    * type and the sentinel union/schema would mismatch. Every current
+    * writer (the driver's fixture generator, tests' fresh temp dirs)
+    * writes a dir at most once; a future in-place-rewriting caller must
+    * key by (dir, mtime/length) instead.
     */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
@@ -98,7 +106,18 @@ object EventStream {
 
   def readEventsWithSentinel(spark: SparkSession, dir: String): DataFrame = {
     val tsType = probeTsType(spark, dir)
-    val sentinelDir = sentinelCache.computeIfAbsent(tsType, { t =>
+    // The sentinel write runs OUTSIDE any map lock (round-22 ADVICE: the
+    // previous computeIfAbsent held the hash-bin lock for the duration of
+    // a full Spark write job, blocking concurrent first-touch callers even
+    // for other types). Two racing first-touch callers now each write
+    // their own temp dir and putIfAbsent decides the winner — the loser's
+    // file is orphaned temp-dir garbage, never read. The file is written
+    // under the FIRST caller session's writer conf and reused by later
+    // sessions; all harness sessions share the writer-relevant conf
+    // (UTC, parquet defaults), which is the assumption this cache makes.
+    val cached = sentinelCache.get(tsType)
+    val sentinelDir = if (cached != null) cached else {
+      val t = tsType
       val tmp = Files.createTempDirectory("graft_sentinel")
       // 2100-01-01T00:00:00Z, written in the main source's physical ts type
       // so the two streaming scans union without a cast.
@@ -111,8 +130,10 @@ object EventStream {
       val row = org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0, "{}")
       spark.createDataFrame(Seq(row).asJava, rawSchema(t))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/sentinel")
-      tmp.toString + "/sentinel"
-    })
+      val mine = tmp.toString + "/sentinel"
+      val prev = sentinelCache.putIfAbsent(t, mine)
+      if (prev != null) prev else mine
+    }
     readEventsGlob(spark, s"$dir/events.parque*", tsType)
       .unionAll(readEventsGlob(spark, sentinelDir, tsType))
   }

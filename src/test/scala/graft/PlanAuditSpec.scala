@@ -792,6 +792,15 @@ class PlanAuditSpec extends GraftSpec {
       l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
     assert(hashEx <= 1,
       s"expected at most 1 hash exchange (the code agg), got $hashEx:\n${p.take(3000)}")
+    // Round-22 ADVICE: 0 non-spread hash exchanges is only the CLAIMED
+    // fused shape when the spread's hashpartitioning(vec_id) repartition
+    // is actually present to justify it — otherwise a vanished agg
+    // exchange would pass unnoticed.
+    if (hashEx == 0) {
+      assert("REPARTITION_BY_NUM".r.findFirstIn(p).isDefined &&
+        "hashpartitioning\\(vec_id#\\d+L".r.findFirstIn(p).isDefined,
+        s"0 agg exchanges requires the spread's vec_id repartition in-plan:\n${p.take(3000)}")
+    }
   }
 
   test("llm_pq_search: ADC scores via broadcast dt, corpus codes never broadcast") {
