@@ -119,19 +119,23 @@ object LlmQueries {
         // static partition count (2×spark.sql.shuffle.partitions after
         // the union) — 64 tasks per round over a 2.8 MB cached edge set
         // at sf0.1, ~80 s of the row's executor time in pure per-task
-        // overhead. Size the partition count from the MEASURED edge
-        // count instead (~4M edge rows ≈ 100-200 MB cached per
-        // partition), and hash-partition by `src` so the per-round
+        // overhead. Hash-partition by `src` so the per-round
         // neighbor-min aggregation and the label join inherit the layout
-        // with no further exchange. The raw cache materializes the
-        // expensive pipeline once; the repartitioned cache is built from
-        // it and the raw copy is dropped immediately.
-        val raw = sym.persist()
-        val nEdges = raw.count()
-        val parts = math.max(1L, math.min(nEdges / 4000000L + 1L, 100000L)).toInt
-        val edges = raw.repartition(parts, col("src")).persist()
-        edges.count() // materialize from the raw cache before dropping it
-        raw.unpersist(blocking = true)
+        // with no further exchange.
+        //
+        // Round 22 (profiled): the r21 form sized the partition count
+        // from a MEASURED edge count, which forced materializing the
+        // expensive verify pipeline TWICE — once into a throwaway `raw`
+        // cache for the count, then again from that cache through the
+        // repartition into the loop cache (~1 s wall + an extra count
+        // job at sf0.1). A numberless repartition(col) lets AQE size the
+        // partition count from the shuffle's ACTUAL bytes at runtime
+        // (advisoryPartitionSizeInBytes — the same data-derived sizing,
+        // now engine-native; the harness sessions set
+        // canChangeCachedPlanOutputPartitioning so the sizing survives
+        // the persist). One materialization, one count job.
+        val edges = sym.repartition(col("src")).persist()
+        edges.count() // materialize the verify pipeline exactly once
         val MaxIters = 30
         // Labels only over ACTIVE reps — those with at least one verified
         // edge (round-7 ADVICE: a label row per rep approaches corpus size
