@@ -11,8 +11,21 @@ import org.apache.spark.sql.functions._
 class ApproxToleranceSpec extends GraftSpec {
   private val tol = 0.05
 
-  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01)) {
+  // Round 22 (r20 verdict #5, r21 carry-over): the two sketch rows are the
+  // only oracle-dark queries, so their tolerance evidence must itself be
+  // scale-pinned — a bound that only holds at toy scales is no bound. The
+  // bench corpus joins the two gate SFs as a THIRD scale (guarded like
+  // every SfBench consumer: hosts without the bench fixtures cancel, not
+  // fail). Sketch error is sublinear in N for both estimators (HLL++
+  // relativeSD is N-free; GK rank error is a fraction of N), so the same
+  // literals apply at every SF.
+  for (sf <- Seq(TestEnv.Sf001, TestEnv.Sf01, TestEnv.SfBench).distinct) {
+    def guard(): Unit =
+      if (sf == TestEnv.SfBench) assume(TestEnv.sfBenchExists,
+        s"bench corpus $sf not present on this host")
+
     test(s"agg_approx_percentile within 2% of exact at $sf") {
+      guard()
       // GK sketch at accuracy 10000 bounds RANK error at 1e-4; on the
       // fixture's price distribution that is far inside a 2% VALUE
       // bound, which is what a consumer of the percentile reads.
@@ -36,6 +49,7 @@ class ApproxToleranceSpec extends GraftSpec {
     }
 
     test(s"agg_approx_distinct within ${(tol * 100).toInt}% of exact at $sf") {
+      guard()
       val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
         .collect().head
       val exact = Tables.lineitem(spark, sf)
