@@ -331,7 +331,15 @@ object LlmQueries {
     //    lists are sorted, so all copies share the same smaller id), the
     //    partial aggregation still collapses the ~6× candidate multiplicity
     //    BEFORE the shuffle — the property the packing existed for.
-    val anchors = buckets
+    // Round 22 (profiled): the bands→buckets agg exchange is KBs of packed
+    // arrays, so AQE coalesces its read to one partition — and then the
+    // pair expansion below (posexplode + slices, ~60× the bytes: 0.7 MB in,
+    // 44.5 MB out at sf0.1) ran as ONE serial 1.1 s task. The guide-§2.5
+    // "repartition immediately after the read" remedy, conditional:
+    // Tables.spread on the packed buckets parallelizes the expansion; at
+    // production the subtree estimate exceeds the scan-width bound and the
+    // spread is a structural no-op (AQE already reads the agg wide there).
+    val anchors = Tables.spread(s, buckets, col("bh"))
       .select(posexplode(col("ids")).as(Seq("i", "a_rep")), col("ids"))
       .select(col("a_rep"),
         slice(col("ids"), col("i") + lit(2),
