@@ -513,7 +513,10 @@ object LlmQueries {
     Q(
       "llm_dedup_paragraph",
       (s, d) => {
-        val seg = Tables.documents(s, d)
+        // spread (round 22, profiled): the tokenize + md5-segment explode
+        // into the cache ran as one 500 ms task on the narrow scan.
+        val seg = Tables.spread(s, Tables.documents(s, d)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"),
             filter(split(col("text"), " "), t => t =!= "").as("toks"))
           .where(size(col("toks")) > 0)

@@ -92,7 +92,13 @@ object TextQueries {
     */
   private def bigramLm(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val tr = Tables.documents(s, d)
+    // spread (round 22): the tokenize + transition explode ran as ONE
+    // ~420 ms task per consuming stage on the single-row-group fixture
+    // scan (profiled; r21 A/B'd this site at the then-32-partition spread
+    // and rightly reverted — the size-derived width is where it pays).
+    val tr = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), toksAll(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -421,8 +427,11 @@ object TextQueries {
     Q(
       "llm_neardup_shingle",
       (s, d) => {
-        val t = Tables.documents(s, d)
-          .where(col("doc_id") < 150)
+        // spread (round 22, profiled): the pair join + shingle intersect
+        // ran as one 700 ms task (the probe side scans as 1 partition).
+        val t = Tables.spread(s, Tables.documents(s, d)
+            .where(col("doc_id") < 150)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"),
@@ -1907,7 +1916,11 @@ object TextQueries {
         // `ranked` persist's exact argument). Corpus-gram-scale rows,
         // MEMORY_AND_DISK by default, released by Cleanup with the other
         // corpus intermediates.
-        val u = Tables.documents(s, d)
+        // spread (round 22, profiled): the shingle explode into the cache
+        // ran as one 780 ms task on the narrow fixture scan.
+        val u = Tables.spread(s,
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id"))
           .select(col("doc_id"), toksAll(col("text")).as("toks"))
           .where(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(array_distinct(
@@ -2520,7 +2533,10 @@ object TextQueries {
     Q(
       "llm_tokenizer_fertility",
       (s, d) => {
-        val occ = Tables.documents(s, d)
+        // spread (round 22): parallelize the tokenize/explode map work
+        // over the narrow fixture scan (profiled single-task stages).
+        val occ = Tables.spread(s, Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
           .select(col("lang"),
             explode(filter(split(lower(col("text")), " "),
               t => t =!= "")).as("w"))

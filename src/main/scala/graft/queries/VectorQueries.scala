@@ -160,7 +160,12 @@ object VectorQueries {
   private def quantizedQC(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val (e, _, cell, _) = hierIndex(s, d)
-    val q = e
+    // spread (round 22, profiled): the quantize + cell-attach pass into
+    // the persisted q ran as one 790 ms task off hierIndex's narrow
+    // cache. Floor only this pipeline's input — hierIndex's own cache
+    // stays at scan width (the r21 measured revert: spreading IT fed
+    // many tiny index-scale stages).
+    val q = Tables.spread(s, e, col("vec_id"))
       .select(col("vec_id"), col("v"),
         array_max(transform(col("v"), x => abs(x))).as("scale"))
       .select(col("vec_id"),
